@@ -1,0 +1,148 @@
+"""Core state pytrees and static scene description.
+
+The reference keeps mutable Taichi fields of shape ``(max_steps, N)``
+(``softmac/engine/mpm_simulator.py:53-66``); the TPU-native design instead
+threads immutable pytrees through ``lax.scan``. Trajectory storage is replaced
+by rematerialization (``jax.checkpoint``), so memory is O(N), not O(T*N).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+# material / model enums (parity with reference mpm_simulator.py:4-13)
+MODEL_COROTATED = 0
+MODEL_NEOHOOKEAN = 1
+
+MAT_PLASTIC = 0
+MAT_ELASTIC = 1
+MAT_LIQUID = 2
+
+CONTACT_GRID = 0
+CONTACT_PARTICLE = 1
+CONTACT_MIXED = 2
+
+
+@struct.dataclass
+class MPMState:
+    """Per-particle MLS-MPM state: position, velocity, affine field, deformation."""
+    x: jnp.ndarray  # (N, 3)
+    v: jnp.ndarray  # (N, 3)
+    C: jnp.ndarray  # (N, 3, 3)
+    F: jnp.ndarray  # (N, 3, 3)
+
+
+@struct.dataclass
+class BodyState:
+    """Rigid primitive states, batched over primitives (B bodies)."""
+    pos: jnp.ndarray   # (B, 3) body-frame origin in world
+    quat: jnp.ndarray  # (B, 4) wxyz
+    v: jnp.ndarray     # (B, 3) linear velocity
+    w: jnp.ndarray     # (B, 3) angular velocity
+
+    @staticmethod
+    def identity(n: int, dtype=jnp.float32) -> "BodyState":
+        quat = jnp.zeros((n, 4), dtype).at[:, 0].set(1.0)
+        z = jnp.zeros((n, 3), dtype)
+        return BodyState(pos=z, quat=quat, v=z, w=z)
+
+
+@struct.dataclass
+class SDFParams:
+    """Precomputed signed-distance tables for one primitive (device arrays)."""
+    table: jnp.ndarray    # (rx, ry, rz)
+    normals: jnp.ndarray  # (rx, ry, rz, 3)
+    lower: jnp.ndarray    # (3,)
+    upper: jnp.ndarray    # (3,)
+    inv_dx: jnp.ndarray   # scalar
+
+
+@struct.dataclass
+class MPMParams:
+    """Per-particle material parameters + scene-level dynamic params."""
+    mu: jnp.ndarray            # (N,)
+    lam: jnp.ndarray           # (N,)
+    yield_stress: jnp.ndarray  # (N,)
+    gravity: jnp.ndarray       # (3,)
+    control_idx: jnp.ndarray   # (N,) int32, -1 = uncontrolled
+    friction: jnp.ndarray      # (B,) per-primitive friction
+    softness: jnp.ndarray      # (B,)
+
+
+@dataclasses.dataclass(frozen=True)
+class MPMConfig:
+    """Static (trace-time) simulator configuration."""
+    n_particles: int
+    n_grid: int = 64
+    dim: int = 3
+    dt: float = 1e-4
+    substeps: int = 20
+    material_model: int = MODEL_COROTATED
+    ptype: int = MAT_PLASTIC
+    collision_type: int = CONTACT_MIXED
+    ground_friction: float = 1.5
+    n_primitives: int = 0
+    n_controllers: int = 0
+    plastic_mode: str = "clip"   # "clip" (reference runtime) | "von_mises"
+    primitives_contact: Tuple[bool, ...] = ()
+    enable_external_force: Tuple[bool, ...] = ()
+    rigid_velocity_control: bool = False
+    mpm_scale: float = 1.0
+    dtype: Any = jnp.float32
+
+    @property
+    def dx(self) -> float:
+        return 1.0 / self.n_grid
+
+    @property
+    def inv_dx(self) -> float:
+        return float(self.n_grid)
+
+    @property
+    def p_vol(self) -> float:
+        # parity with reference: (dx*0.5)**2 even in 3D (mpm_simulator.py:34)
+        return (self.dx * 0.5) ** 2
+
+    @property
+    def p_mass(self) -> float:
+        return self.p_vol * 1.0
+
+    @property
+    def n_cells(self) -> int:
+        return self.n_grid ** 3
+
+
+def mpm_state_zero(cfg: MPMConfig, x: jnp.ndarray) -> MPMState:
+    """Initial state: particles at x, zero velocity, identity F, zero C
+    (parity with reset_kernel, mpm_simulator.py:495-501)."""
+    n = x.shape[0]
+    dtype = cfg.dtype
+    return MPMState(
+        x=x.astype(dtype),
+        v=jnp.zeros((n, 3), dtype),
+        C=jnp.zeros((n, 3, 3), dtype),
+        F=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n, 3, 3)),
+    )
+
+
+def mpm_state_from_packed(cfg: MPMConfig, packed: jnp.ndarray) -> MPMState:
+    """Load an (N, 24) packed state [x(3) v(3) F(9) C(9)] — the reference's
+    checkpoint layout (mpm_simulator.py:481-492, 504-512)."""
+    n = packed.shape[0]
+    dtype = cfg.dtype
+    return MPMState(
+        x=packed[:, 0:3].astype(dtype),
+        v=packed[:, 3:6].astype(dtype),
+        F=packed[:, 6:15].reshape(n, 3, 3).astype(dtype),
+        C=packed[:, 15:24].reshape(n, 3, 3).astype(dtype),
+    )
+
+
+def mpm_state_to_packed(state: MPMState) -> jnp.ndarray:
+    n = state.x.shape[0]
+    return jnp.concatenate(
+        [state.x, state.v, state.F.reshape(n, 9), state.C.reshape(n, 9)], axis=1
+    )
