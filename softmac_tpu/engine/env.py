@@ -1,0 +1,398 @@
+"""Scene building and the environment facade.
+
+``SoftMacEnv`` (aliased ``TaichiEnv`` for reference parity,
+``softmac/engine/taichi_env.py``) keeps the reference's imperative API —
+``reset / step / compute_loss / backward / render`` — but the compute path is
+one jitted, differentiable rollout:
+
+    rollout = scan over sample blocks
+                of scan over env steps           (remat)
+                  of scan over MPM substeps
+              + loss on sampled block boundaries
+
+The coupling bus of the reference (GPU->CPU wrench readback, Jade C++ step,
+CPU->GPU pose upload, hand-chained Jacobians; ``rigid_simulator.py:85-173``)
+is pure dataflow inside the jitted program, and ``env.backward()`` is
+``jax.grad`` of the whole rollout.
+"""
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from softmac_tpu.engine import mpm as mpm_mod
+from softmac_tpu.engine.losses import LOSS_REGISTRY, FrameSample
+from softmac_tpu.engine.materials import lame_parameters
+from softmac_tpu.engine.meshio import load_obj, load_urdf
+from softmac_tpu.engine.rigid import (
+    RigidModel, RigidState, RigidVelocityModel, grad_scale,
+)
+from softmac_tpu.engine.sdf import preprocess_sdf, sdf_params_from_bake
+from softmac_tpu.engine.shapes import Shapes
+from softmac_tpu.engine.types import (
+    BodyState, MPMConfig, MPMParams, MPMState,
+    mpm_state_from_packed, mpm_state_zero,
+)
+
+REPO_ROOT = Path(__file__).resolve().parents[2]
+
+
+def _resolve_dtype(cfg) -> jnp.dtype:
+    """f32 on accelerators, f64 on CPU when x64 is enabled ("auto")."""
+    choice = cfg.TPU.compute_dtype if "TPU" in cfg else "auto"
+    if choice in ("float32", "f32"):
+        return jnp.float32
+    if choice in ("float64", "f64"):
+        return jnp.float64
+    if jax.config.jax_enable_x64 and jax.default_backend() == "cpu":
+        return jnp.float64
+    return jnp.float32
+
+
+class SoftMacEnv:
+    def __init__(self, cfg, loss: bool = True, search_dirs=None):
+        self.cfg_full = cfg
+        self.cfg = cfg.ENV
+        self.env_dt = cfg.env_dt
+        self.mpm_scale = cfg.get("mpm_scale", 1.0)
+        self.control_mode = cfg.control_mode
+        self.rigid_velocity_control = cfg.rigid_velocity_control
+        self.search_dirs = [str(p) for p in (search_dirs or [])] + [
+            ".", str(REPO_ROOT)]
+        self.dtype = _resolve_dtype(cfg)
+
+        # ---------------- particles ----------------------------------------
+        self.shapes = Shapes(cfg.SHAPES, search_dirs=self.search_dirs)
+        self.init_particles, self.particle_colors = self.shapes.get()
+        self.n_particles = len(self.init_particles)
+
+        # ---------------- primitives (URDF -> SDF tables) -------------------
+        self.urdf_models = []
+        self.prims = []
+        self.prim_colors = []
+        self.prim_meshes = []           # (verts, faces) per primitive, rest frame
+        prim_friction = []
+        prim_contact_enabled = []
+        prim_ext_force = []
+        for pc in cfg.PRIMITIVES:
+            urdf_path = self._resolve(pc.urdf_path)
+            model = load_urdf(str(urdf_path))
+            self.urdf_models.append(model)
+            for link, joint in model.moving_links():
+                verts, faces = load_obj(link.mesh_path)
+                bake = preprocess_sdf(verts, faces, Path(link.mesh_path).parent)
+                self.prims.append(sdf_params_from_bake(bake, self.dtype))
+                self.prim_colors.append(link.color)
+                self.prim_meshes.append((verts, faces))
+                prim_friction.append(pc.friction)
+                prim_contact_enabled.append(True)
+                prim_ext_force.append(bool(pc.get("enable_external_force", True)))
+        self.prims = tuple(self.prims)
+        self.n_primitives = len(self.prims)
+
+        # ---------------- MPM config/params ---------------------------------
+        sim = cfg.SIMULATOR
+        quality = sim.quality * (0.5 if sim.dim == 3 else 1.0)
+        substeps = int(round(cfg.env_dt / sim.dt))
+        self.substeps = substeps
+        self.mpm_cfg = MPMConfig(
+            n_particles=self.n_particles,
+            n_grid=int(128 * quality),
+            dt=sim.dt,
+            substeps=substeps,
+            material_model=sim.material_model,
+            ptype=sim.ptype,
+            collision_type=sim.collision_type,
+            ground_friction=sim.ground_friction,
+            n_primitives=self.n_primitives,
+            n_controllers=sim.n_controllers,
+            primitives_contact=tuple(prim_contact_enabled),
+            enable_external_force=tuple(prim_ext_force),
+            rigid_velocity_control=self.rigid_velocity_control,
+            mpm_scale=self.mpm_scale,
+            dtype=self.dtype,
+        )
+        mu, lam = lame_parameters(sim.E, sim.nu, sim.ptype)
+        n = self.n_particles
+        self.mpm_params = MPMParams(
+            mu=jnp.full((n,), mu, self.dtype),
+            lam=jnp.full((n,), lam, self.dtype),
+            yield_stress=jnp.full((n,), sim.yield_stress, self.dtype),
+            gravity=jnp.asarray(sim.gravity, self.dtype),
+            control_idx=jnp.full((n,), -1, jnp.int32),
+            friction=jnp.asarray(prim_friction or [0.0], self.dtype),
+            softness=jnp.full((max(self.n_primitives, 1),), 666.0, self.dtype),
+        )
+
+        # ---------------- rigid simulator ----------------------------------
+        self.rigid_model: Optional[RigidModel] = None
+        self.rigid_vel_model: Optional[RigidVelocityModel] = None
+        if self.n_primitives > 0:
+            if self.rigid_velocity_control:
+                self.rigid_vel_model = RigidVelocityModel(
+                    self.n_primitives, cfg.RIGID, substeps, cfg.env_dt, self.dtype)
+            else:
+                self.rigid_model = RigidModel(
+                    self.urdf_models, cfg.RIGID, cfg.env_dt, self.dtype)
+                assert self.rigid_model.n_primitives == self.n_primitives
+        self.ext_grad_scale = float(cfg.RIGID.get("ext_grad_scale", 1.0))
+
+        # ---------------- loss ----------------------------------------------
+        self.use_loss = loss and cfg.ENV.loss_type != ""
+        self.loss = None
+        if self.use_loss:
+            self.loss = LOSS_REGISTRY[cfg.ENV.loss_type](cfg.ENV.loss, self)
+
+        # ---------------- action dims ----------------------------------------
+        if self.control_mode == "mpm":
+            self.action_dim = self.mpm_cfg.n_controllers * 3
+        elif self.rigid_velocity_control:
+            self.action_dim = 6 * self.n_primitives
+        else:
+            self.action_dim = self.rigid_model.action_dim if self.rigid_model else 0
+
+        # ---------------- runtime state (facade) ------------------------------
+        self._is_copy = False
+        self._renderer = None
+        self.keep_history = True
+        self._jit_cache = {}
+        self._step_jit = jax.jit(self._env_step_fn)
+        self.reset()
+
+    # ==================================================================
+    # scene helpers
+    # ==================================================================
+    def _resolve(self, path) -> Path:
+        p = Path(path)
+        if p.exists():
+            return p
+        for d in self.search_dirs:
+            cand = Path(d) / p
+            if cand.exists():
+                return cand
+        raise FileNotFoundError(f"{path} not found in {self.search_dirs}")
+
+    def set_copy(self, is_copy: bool):
+        self._is_copy = is_copy
+        self.keep_history = not is_copy
+
+    def set_control_idx(self, idx: np.ndarray):
+        self.mpm_params = self.mpm_params.replace(
+            control_idx=jnp.asarray(idx, jnp.int32))
+        # params are closed over by the jitted functions — rebuild them
+        self._jit_cache.clear()
+        self._step_jit = jax.jit(self._env_step_fn)
+
+    # ==================================================================
+    # initial state
+    # ==================================================================
+    def _initial_carry(self):
+        x0 = np.asarray(self.init_particles, np.float64)
+        if x0.shape[1] == 3:
+            mpm0 = mpm_state_zero(self.mpm_cfg, jnp.asarray(x0))
+        else:
+            mpm0 = mpm_state_from_packed(self.mpm_cfg, jnp.asarray(x0))
+
+        if self.rigid_vel_model is not None:
+            bodies0 = self.rigid_vel_model.init_bodies()
+            rigid0 = RigidState(q=jnp.zeros((0,), self.dtype),
+                                qd=jnp.zeros((0,), self.dtype))
+        elif self.rigid_model is not None:
+            rigid0 = self.rigid_model.init_state()
+            bodies0 = self.rigid_model.body_states(rigid0)
+        else:
+            bodies0 = BodyState.identity(0, self.dtype)
+            rigid0 = RigidState(q=jnp.zeros((0,), self.dtype),
+                                qd=jnp.zeros((0,), self.dtype))
+        return (mpm0, bodies0, rigid0)
+
+    def reset(self):
+        self._carry = self._initial_carry()
+        self.cur = 0
+        self.action_list = []
+        self._history = [self._snapshot()]
+
+    def _snapshot(self):
+        mpm, bodies, _ = self._carry
+        return (np.asarray(mpm.x).T, jax.tree.map(np.asarray, bodies))
+
+    # ==================================================================
+    # one env step (used by both the facade and the rollout)
+    # ==================================================================
+    def _env_step_fn(self, carry, action):
+        """(carry, action) -> (carry, None)."""
+        mpm, bodies, rigid = carry
+        cfg = self.mpm_cfg
+
+        mpm_action = None
+        if self.control_mode == "mpm" and self.action_dim > 0:
+            mpm_action = action.reshape(cfg.n_controllers, 3).astype(self.dtype)
+
+        bodies_c = grad_scale(bodies, self.ext_grad_scale) \
+            if (self.rigid_model is not None) else bodies
+
+        def sub(c, k):
+            mpm_s, bod = c
+            mpm_s, extf = mpm_mod.substep(
+                cfg, self.mpm_params, self.prims, mpm_s, bod, k, mpm_action)
+            if self.rigid_vel_model is not None:
+                bod = RigidVelocityModel.forward_kinematics(bod, cfg.dt)
+            return (mpm_s, bod), extf
+
+        (mpm, bodies_c), extf = jax.lax.scan(
+            sub, (mpm, bodies_c), jnp.arange(cfg.substeps))
+        ext_f = jnp.sum(extf, axis=0) / cfg.substeps  # window-averaged wrench
+
+        if self.rigid_vel_model is not None:
+            bodies = self.rigid_vel_model.apply_action(
+                bodies_c, action.astype(self.dtype))
+        elif self.rigid_model is not None:
+            rigid_action = action if self.control_mode == "rigid" else None
+            rigid = self.rigid_model.step(rigid, rigid_action, ext_f)
+            bodies = self.rigid_model.body_states(rigid)
+        else:
+            bodies = bodies_c
+
+        return (mpm, bodies, rigid), None
+
+    # ==================================================================
+    # imperative facade (reference API parity)
+    # ==================================================================
+    def step(self, action=None):
+        if action is None:
+            action = np.zeros((max(self.action_dim, 1),))
+        action = jnp.asarray(np.asarray(action, np.float64), self.dtype)
+        self.action_list.append(np.asarray(action))
+        self._carry, _ = self._step_jit(self._carry, action)
+        self.cur += self.substeps
+        if self.keep_history:
+            self._history.append(self._snapshot())
+        else:
+            self._history = [self._snapshot()]
+
+    def get_x(self, f=None):
+        if f is None:
+            f = self.cur
+        return self._history[min(f // self.substeps, len(self._history) - 1)][0]
+
+    def get_state_frame(self, f):
+        """(x, bodies) snapshot at frame f (window boundaries only)."""
+        return self._history[min(f // self.substeps, len(self._history) - 1)]
+
+    def compute_loss(self, f=None):
+        assert self.loss is not None
+        if f is None:
+            f = 0 if self._is_copy else self.cur
+        x, bodies = self.get_state_frame(f)
+        sample = FrameSample(x=jnp.asarray(x, self.dtype), bodies=bodies)
+        terms = {k: float(v) for k, v in self.loss.terms(sample).items()}
+        terms["loss"] = sum(terms.values())
+        return terms
+
+    def backward(self, loss_start_frame=None, loss_stride=20):
+        """Gradient of the sampled-frame loss w.r.t. the recorded actions.
+
+        Re-runs the rollout under jax.grad (recompute-from-checkpoint, the
+        same policy as the reference's substep_grad replay)."""
+        actions = jnp.asarray(np.stack(self.action_list), self.dtype)
+        out = self.rollout_and_grad(actions, loss_start_frame=loss_start_frame,
+                                    loss_stride=loss_stride)
+        return np.asarray(out["action_grad"])
+
+    # ==================================================================
+    # functional rollout (the fast path used by demos / bench)
+    # ==================================================================
+    def _sample_mask(self, n_steps, loss_start_frame, loss_stride):
+        """Per-block loss weights replicating ``range(start, T+1, stride)``."""
+        block = max(loss_stride // self.substeps, 1)
+        n_blocks = n_steps // block
+        frames = (np.arange(1, n_blocks + 1)) * block * self.substeps
+        start = 0 if loss_start_frame is None else loss_start_frame
+        mask = ((frames >= start) & ((frames - start) % loss_stride == 0))
+        include_f0 = (start == 0)
+        return block, n_blocks, mask.astype(np.float64), include_f0
+
+    def _build_rollout(self, n_steps, loss_start_frame, loss_stride, with_grad):
+        block, n_blocks, mask_np, include_f0 = self._sample_mask(
+            n_steps, loss_start_frame, loss_stride)
+        assert n_blocks * block == n_steps, (
+            f"steps ({n_steps}) must be a multiple of the loss block ({block})")
+        mask = jnp.asarray(mask_np, self.dtype)
+
+        env_step = jax.checkpoint(self._env_step_fn)
+
+        def block_fn(carry, action_block):
+            carry, _ = jax.lax.scan(env_step, carry, action_block)
+            mpm, bodies, _ = carry
+            return carry, FrameSample(x=mpm.x_nd, bodies=bodies)
+
+        def rollout(actions, carry0):
+            ab = actions.reshape(n_blocks, block, -1)
+            carry, samples = jax.lax.scan(block_fn, carry0, ab)
+
+            loss_total = jnp.zeros((), self.dtype)
+            terms_acc = {}
+            if self.loss is not None:
+                per_block = jax.lax.map(self.loss.terms, samples)
+                for k, v in per_block.items():
+                    terms_acc[k] = jnp.sum(v * mask)
+                    loss_total = loss_total + terms_acc[k]
+                    terms_acc[f"final_{k}"] = v[-1]
+                if include_f0:
+                    mpm0, bodies0, _ = carry0
+                    t0 = self.loss.terms(FrameSample(x=mpm0.x_nd, bodies=bodies0))
+                    for k, v in t0.items():
+                        terms_acc[k] = terms_acc[k] + v
+                        loss_total = loss_total + v
+            return loss_total, (terms_acc, carry)
+
+        if not with_grad:
+            return jax.jit(rollout)
+
+        def rollout_grad(actions, carry0):
+            (loss, (terms, carry)), g = jax.value_and_grad(
+                rollout, has_aux=True)(actions, carry0)
+            return {"loss": loss, "terms": terms, "carry": carry,
+                    "action_grad": g}
+
+        return jax.jit(rollout_grad)
+
+    def _get_rollout(self, n_steps, loss_start_frame, loss_stride, with_grad):
+        key = (n_steps, loss_start_frame, loss_stride, with_grad)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_rollout(*key)
+        return self._jit_cache[key]
+
+    def rollout(self, actions, loss_start_frame=None, loss_stride=20):
+        actions = jnp.asarray(actions, self.dtype)
+        fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride, False)
+        loss, (terms, carry) = fn(actions, self._initial_carry())
+        return {"loss": loss, "terms": terms, "carry": carry}
+
+    def rollout_and_grad(self, actions, loss_start_frame=None, loss_stride=20):
+        actions = jnp.asarray(actions, self.dtype)
+        fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride, True)
+        return fn(actions, self._initial_carry())
+
+    # ==================================================================
+    # rendering
+    # ==================================================================
+    def render(self, f=None):
+        from softmac_tpu.engine.renderer import PointRenderer
+        if self._renderer is None:
+            self._renderer = PointRenderer(self.cfg_full.RENDERER, self)
+        if f is None:
+            f = self.cur
+        x, bodies = self.get_state_frame(f)
+        return self._renderer.render(x, self.particle_colors, bodies)
+
+    def initialize(self):
+        self.reset()
+
+
+TaichiEnv = SoftMacEnv

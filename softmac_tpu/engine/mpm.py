@@ -1,23 +1,39 @@
-"""MLS-MPM core: one fused, differentiable substep.
+"""MLS-MPM core: one fused, differentiable substep (TPU-native, dense).
 
 Reference semantics: ``softmac/engine/mpm_simulator.py`` — compute_F_tmp(:126),
 p2g(:199), grid_op(:284), boundary_condition(:269), g2p(:300), and the
-forecast-based mixed-contact pipeline grid_op_mixed1..4(:396-443). Here the
-whole substep is a single pure function ``substep(state, bodies, ...)``
-intended to run inside a jitted ``lax.scan``; the hand-written per-kernel
-adjoints of the reference (substep_grad, backward_svd, the 4-way kernel split
-"for a 10x backward speedup") are all subsumed by ``jax.grad`` + remat.
+forecast-based mixed-contact pipeline grid_op_mixed1..4(:396-443). The whole
+substep is a single pure function intended to run inside a jitted
+``lax.scan``; the reference's hand-written per-kernel adjoints (substep_grad,
+backward_svd, the 4-way kernel split "for a 10x backward speedup") are
+subsumed by ``jax.grad`` + remat.
+
+TPU-native design (what replaces the reference's atomic scatter/gather CUDA
+kernels): per-index scatter/gather on TPU costs ~7 ns/element, so the
+B-spline transfers are reformulated as dense MXU contractions:
+
+- per-axis weight matrices W_d (ng, N) and derivative variants WD_d with the
+  (offset - fx) factor — built by elementwise compare, zero elsewhere;
+- P2G: grid[(y,z), x*ch] = Hyz @ R^T where Hyz[(y,z),p] = Wy*Wz is the
+  Khatri-Rao pair and R stacks Wx- (and WxD-) weighted value channels. One
+  matmul splats every channel, including the affine @ dpos momentum terms
+  (dpos separates into the three WD variants);
+- G2P: M_d[p, x] = (Hyz-variant)^T @ grid_d, then v/C are (N, ng) row
+  reductions against Wx/WxD — intermediates are (N, ng), i.e. ~1 MB.
+
+The particle axis always sits in the TPU lane dimension ((3,N)/(3,3,N) state,
+component-form math via ops/m33.py) — see the layout notes there.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from softmac_tpu.engine import contact as contact_mod
 from softmac_tpu.engine.materials import compute_stress_and_F, needs_svd
-from softmac_tpu.engine.svd3 import svd3
+from softmac_tpu.engine.svd3 import svd3_soa
 from softmac_tpu.engine.types import (
     CONTACT_GRID,
     CONTACT_MIXED,
@@ -28,129 +44,185 @@ from softmac_tpu.engine.types import (
     MPMState,
     SDFParams,
 )
-from softmac_tpu.ops.scatter import scatter_add
+from softmac_tpu.ops import m33
 
-# 27 static stencil offsets (quadratic B-spline support)
 OFFSETS = tuple((i, j, k) for i in range(3) for j in range(3) for k in range(3))
 
 
-def _det3(m):
-    return (
-        m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
-        - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
-        + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0])
-    )
+def _dotT(a, b):
+    """Contract the last axis of a with the last axis of b: (A, N)x(B, N)->(A, B)."""
+    return lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                           preferred_element_type=a.dtype)
 
 
-def bspline(x: jnp.ndarray, inv_dx: float):
-    """Quadratic B-spline stencil: base cell, fractional offset, weights.
+def _dot0(a, b):
+    """Contract axis 0 of a with axis 0 of b: (K, N)x(K, M)->(N, M)."""
+    return lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                           preferred_element_type=a.dtype)
 
-    Returns base (N,3) int32, fx (N,3), w (3,N,3) with w[o] the per-axis
-    weight of stencil offset o.
+
+def axis_weights(cfg: MPMConfig, x_vec):
+    """Dense per-axis B-spline weight matrices.
+
+    Returns (W, WD): lists of 3 arrays (ng, N) each. W[d][r, p] is the weight
+    of particle p on grid row r along axis d; WD[d] carries the extra
+    (offset - fx) factor (unscaled — multiply by dx for P2G's dpos).
     """
-    pos = x * inv_dx
-    base = jnp.floor(pos - 0.5).astype(jnp.int32)
-    fx = pos - base.astype(x.dtype)
-    w = jnp.stack(
-        [0.5 * (1.5 - fx) ** 2, 0.75 - (fx - 1.0) ** 2, 0.5 * (fx - 0.5) ** 2]
-    )
-    return base, fx, w
+    ng = cfg.n_grid
+    r = jnp.arange(ng, dtype=jnp.int32)[:, None]
+    W, WD = [], []
+    for d in range(3):
+        pos = x_vec[d] * cfg.inv_dx
+        b = jnp.floor(pos - 0.5).astype(jnp.int32)
+        fx = pos - b.astype(pos.dtype)
+        w = (0.5 * (1.5 - fx) ** 2, 0.75 - (fx - 1.0) ** 2, 0.5 * (fx - 0.5) ** 2)
+        Wd = jnp.zeros((ng, x_vec[d].shape[0]), pos.dtype)
+        WDd = jnp.zeros_like(Wd)
+        for o in range(3):
+            hit = r == (b[None, :] + o)
+            Wd = Wd + jnp.where(hit, w[o][None, :], 0.0)
+            WDd = WDd + jnp.where(hit, (w[o] * (o - fx))[None, :], 0.0)
+        W.append(Wd)
+        WD.append(WDd)
+    return W, WD
 
 
-def _cell_ids(cfg: MPMConfig, base: jnp.ndarray, offset) -> jnp.ndarray:
-    """Flat grid index of base+offset, clipped into the grid."""
-    n = cfg.n_grid
-    bx = jnp.clip(base[:, 0] + offset[0], 0, n - 1)
-    by = jnp.clip(base[:, 1] + offset[1], 0, n - 1)
-    bz = jnp.clip(base[:, 2] + offset[2], 0, n - 1)
-    return (bx * n + by) * n + bz
+def hyz_family(cfg: MPMConfig, W, WD):
+    """The three Khatri-Rao (y,z) pair matrices, (ng*ng, N) each."""
+    ng = cfg.n_grid
+
+    def pair(a, b):
+        return (a[:, None, :] * b[None, :, :]).reshape(ng * ng, -1)
+
+    return pair(W[1], W[2]), pair(WD[1], W[2]), pair(W[1], WD[2])
 
 
-def p2g(cfg: MPMConfig, state: MPMState, F_new: jnp.ndarray, stress: jnp.ndarray,
-        impulse: jnp.ndarray, scatter_method: str = "scatter") -> jnp.ndarray:
-    """Particle-to-grid transfer. Returns flat grid (G, 4): [mass, momentum]."""
-    dtype = state.x.dtype
-    base, fx, w = bspline(state.x, cfg.inv_dx)
+def p2g_dense(cfg: MPMConfig, W, WD, Hyz, HyzDy, HyzDz, v_vec, C, stress, impulse):
+    """Dense P2G. Returns grid channels (mass, mom x/y/z), each (ng*ng, ng)."""
+    ng = cfg.n_grid
+    n = v_vec[0].shape[0]
+    dtype = v_vec[0].dtype
 
     stress_coef = -cfg.dt * cfg.p_vol * 4.0 * cfg.inv_dx * cfg.inv_dx
-    affine = stress_coef * stress + cfg.p_mass * state.C
-    mom = cfg.p_mass * state.v + impulse  # (N,3)
+    affine = m33.madd(m33.mscale(stress, stress_coef), m33.mscale(C, cfg.p_mass))
+    mom = tuple(cfg.p_mass * v_vec[d] + impulse[d] for d in range(3))
+    mass = jnp.full((n,), cfg.p_mass, dtype)
 
-    n = state.x.shape[0]
-    ids_list, vals_list = [], []
-    for off in OFFSETS:
-        weight = w[off[0], :, 0] * w[off[1], :, 1] * w[off[2], :, 2]  # (N,)
-        dpos = (jnp.asarray(off, dtype) - fx) * cfg.dx
-        val = jnp.empty((n, 4), dtype)
-        contrib = mom + jnp.einsum("nij,nj->ni", affine, dpos)
-        val = val.at[:, 0].set(weight * cfg.p_mass)
-        val = val.at[:, 1:].set(weight[:, None] * contrib)
-        ids_list.append(_cell_ids(cfg, base, off))
-        vals_list.append(val)
+    Wx, WxD = W[0], WD[0]
+    dx = cfg.dx
 
-    ids = jnp.concatenate(ids_list)
-    vals = jnp.concatenate(vals_list)
-    return scatter_add(ids, vals, cfg.n_cells, method=scatter_method)
+    # R1: [mass, mom0..2] on Wx + x-direction affine terms on WxD
+    r1 = jnp.concatenate([
+        Wx * mass[None, :],
+        Wx * mom[0][None, :], Wx * mom[1][None, :], Wx * mom[2][None, :],
+        WxD * (dx * affine[0][0])[None, :],
+        WxD * (dx * affine[1][0])[None, :],
+        WxD * (dx * affine[2][0])[None, :],
+    ], axis=0)                                     # (7*ng, N)
+    out1 = _dotT(Hyz, r1)                          # (ng^2, 7*ng)
+
+    r2 = jnp.concatenate([
+        Wx * (dx * affine[0][1])[None, :],
+        Wx * (dx * affine[1][1])[None, :],
+        Wx * (dx * affine[2][1])[None, :],
+    ], axis=0)
+    out2 = _dotT(HyzDy, r2)                        # (ng^2, 3*ng)
+
+    r3 = jnp.concatenate([
+        Wx * (dx * affine[0][2])[None, :],
+        Wx * (dx * affine[1][2])[None, :],
+        Wx * (dx * affine[2][2])[None, :],
+    ], axis=0)
+    out3 = _dotT(HyzDz, r3)
+
+    gm = out1[:, 0:ng]
+    gmom = tuple(
+        out1[:, (1 + d) * ng:(2 + d) * ng]
+        + out1[:, (4 + d) * ng:(5 + d) * ng]
+        + out2[:, d * ng:(d + 1) * ng]
+        + out3[:, d * ng:(d + 1) * ng]
+        for d in range(3)
+    )
+    return (gm,) + gmom
 
 
-def grid_coords(cfg: MPMConfig) -> jnp.ndarray:
-    """(G, 3) int32 cell coordinates of the flattened grid."""
-    n = cfg.n_grid
-    idx = jnp.arange(n * n * n, dtype=jnp.int32)
-    return jnp.stack([idx // (n * n), (idx // n) % n, idx % n], axis=-1)
+def splat_channels(cfg: MPMConfig, W, Hyz, values):
+    """Dense splat of plain per-particle channels (no affine): values is a
+    list of (N,) arrays -> list of (ng^2, ng) grids. (grid_op_mixed4's
+    correction scatter uses this.)"""
+    ng = cfg.n_grid
+    Wx = W[0]
+    r = jnp.concatenate([Wx * v[None, :] for v in values], axis=0)
+    out = _dotT(Hyz, r)
+    return [out[:, i * ng:(i + 1) * ng] for i in range(len(values))]
 
 
-def boundary_condition(cfg: MPMConfig, coords: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def g2p_dense(cfg: MPMConfig, W, WD, Hyz, HyzDy, HyzDz, grid_v, x_vec):
+    """Dense G2P: weighted gather of grid velocity + affine C reconstruction.
+    grid_v: 3 channels (ng^2, ng). Returns (v_new, C_new, x_new) tuples."""
+    Wx, WxD = W[0], WD[0]
+    WxT, WxDT = Wx.T, WxD.T                       # (N, ng) views
+
+    v_new, C_rows = [], [[None] * 3 for _ in range(3)]
+    for d in range(3):
+        M = _dot0(Hyz, grid_v[d])                  # (N, ng)
+        My = _dot0(HyzDy, grid_v[d])
+        Mz = _dot0(HyzDz, grid_v[d])
+        v_new.append(jnp.sum(M * WxT, axis=1))
+        C_rows[d][0] = (4.0 * cfg.inv_dx) * jnp.sum(M * WxDT, axis=1)
+        C_rows[d][1] = (4.0 * cfg.inv_dx) * jnp.sum(My * WxT, axis=1)
+        C_rows[d][2] = (4.0 * cfg.inv_dx) * jnp.sum(Mz * WxT, axis=1)
+
+    x_new = tuple(x_vec[d] + cfg.dt * v_new[d] for d in range(3))
+    return tuple(v_new), tuple(tuple(r) for r in C_rows), x_new
+
+
+def gather_dense(cfg: MPMConfig, W, Hyz, grid_v):
+    """Weighted gather only (grid_op_mixed2): particle-interpolated velocity."""
+    WxT = W[0].T
+    return tuple(
+        jnp.sum(_dot0(Hyz, grid_v[d]) * WxT, axis=1) for d in range(3)
+    )
+
+
+def grid_coords(cfg: MPMConfig):
+    """Cell coordinates of the (ng^2, ng) grid form: (y, z) rows, x cols."""
+    ng = cfg.n_grid
+    row = jnp.arange(ng * ng, dtype=jnp.int32)[:, None]
+    y = row // ng
+    z = row % ng
+    x = jnp.arange(ng, dtype=jnp.int32)[None, :]
+    return x, y, z
+
+
+def boundary_condition(cfg: MPMConfig, coords, gv):
     """Box boundary + sticky ground (mpm_simulator.py:269-281)."""
     bound = 3
-    n = cfg.n_grid
-    low = coords < bound          # (G,3) bool
-    high = coords > n - bound
-    v = jnp.where(low & (v < 0), 0.0, v)
-    v = jnp.where(high & (v > 0), 0.0, v)
+    ng = cfg.n_grid
+    x, y, z = coords  # broadcastable to (ng^2, ng)
+    axes = (x, y, z)
+    out = []
+    for d in range(3):
+        v = gv[d]
+        v = jnp.where((axes[d] < bound) & (v < 0), 0.0, v)
+        v = jnp.where((axes[d] > ng - bound) & (v > 0), 0.0, v)
+        out.append(v)
     if cfg.ground_friction >= 10.0:
-        v = jnp.where(low[:, 1:2], 0.0, v)
-    return v
+        ground = y < bound
+        out = [jnp.where(ground, 0.0, v) for v in out]
+    return tuple(out)
 
 
-def grid_normalize(cfg: MPMConfig, grid: jnp.ndarray, gravity: jnp.ndarray):
-    """Momentum -> velocity + gravity on non-empty cells. Returns (v, mask)."""
-    m = grid[:, 0]
+def grid_normalize(cfg: MPMConfig, grid, gravity):
+    """Momentum -> velocity + gravity on non-empty cells."""
+    m = grid[0]
     mask = m > 1e-10
     m_safe = jnp.where(mask, m, 1.0)
-    v = grid[:, 1:] / m_safe[:, None] + cfg.dt * gravity
-    v = jnp.where(mask[:, None], v, 0.0)
-    return v, mask, m
-
-
-def g2p(cfg: MPMConfig, grid_v: jnp.ndarray, x: jnp.ndarray):
-    """Grid-to-particle gather + advection. Returns (v_new, C_new, x_new)."""
-    dtype = x.dtype
-    base, fx, w = bspline(x, cfg.inv_dx)
-
-    new_v = jnp.zeros_like(x)
-    new_C = jnp.zeros(x.shape[:-1] + (3, 3), dtype)
-    for off in OFFSETS:
-        weight = w[off[0], :, 0] * w[off[1], :, 1] * w[off[2], :, 2]
-        dpos = jnp.asarray(off, dtype) - fx  # unscaled, matches g2p(:308)
-        g_v = grid_v[_cell_ids(cfg, base, off)]
-        new_v = new_v + weight[:, None] * g_v
-        new_C = new_C + (4.0 * cfg.inv_dx) * weight[:, None, None] * (
-            g_v[:, :, None] * dpos[:, None, :]
-        )
-
-    x_new = x + cfg.dt * new_v
-    return new_v, new_C, x_new
-
-
-def gather_particles(cfg: MPMConfig, grid_v: jnp.ndarray, x: jnp.ndarray):
-    """Weighted gather only (grid_op_mixed2): particle-interpolated velocity."""
-    base, fx, w = bspline(x, cfg.inv_dx)
-    out = jnp.zeros_like(x)
-    for off in OFFSETS:
-        weight = w[off[0], :, 0] * w[off[1], :, 1] * w[off[2], :, 2]
-        out = out + weight[:, None] * grid_v[_cell_ids(cfg, base, off)]
-    return out
+    gv = tuple(
+        jnp.where(mask, grid[d + 1] / m_safe + cfg.dt * gravity[d], 0.0)
+        for d in range(3)
+    )
+    return gv, mask, m
 
 
 def substep(
@@ -161,43 +233,53 @@ def substep(
     bodies: BodyState,
     k,                      # substep index within the env step (0..substeps-1)
     mpm_action=None,        # (n_controllers, 3) or None
-    scatter_method: str = "scatter",
-) -> Tuple[MPMState, jnp.ndarray]:
+):
     """One MLS-MPM substep with contact. Returns (new_state, ext_f (B, 6))."""
     dtype = state.x.dtype
     n_prims = len(prims)
-    eye = jnp.eye(3, dtype=dtype)
+
+    x = (state.x[0], state.x[1], state.x[2])
+    v = (state.v[0], state.v[1], state.v[2])
+    C = tuple(tuple(state.C[i, j] for j in range(3)) for i in range(3))
+    F = tuple(tuple(state.F[i, j] for j in range(3)) for i in range(3))
 
     # --- deformation update + stress --------------------------------------
-    F_tmp = (eye + cfg.dt * state.C) @ state.F
+    F_tmp = m33.mmul(m33.madd_diag(m33.mscale(C, cfg.dt), 1.0), F)
     if needs_svd(cfg):
-        U, sig, V = svd3(F_tmp)
+        U, sig, V = svd3_soa(F_tmp)
     else:
         U = sig = V = None
     stress, F_new = compute_stress_and_F(
         cfg, F_tmp, U, sig, V, params.mu, params.lam, params.yield_stress)
 
     # --- impulses: particle contact + particle controllers ----------------
-    impulse = jnp.zeros_like(state.v)
-    ext_f = jnp.zeros((max(n_prims, 1), 6), dtype)
+    zero = jnp.zeros_like(x[0])
+    impulse = (zero, zero, zero)
+    wrenches = [jnp.zeros((6,), dtype) for _ in range(max(n_prims, 1))]
     if cfg.collision_type == CONTACT_PARTICLE:
         for i in range(n_prims):
             if not cfg.primitives_contact[i]:
                 continue
-            imp, wrench = contact_mod.collide_particle(
+            imp, wr = contact_mod.collide_particle(
                 prims[i], bodies.pos[i], bodies.quat[i], bodies.v[i], bodies.w[i],
-                params.friction[i], state.x, state.v, cfg.dt)
-            impulse = impulse + imp
-            ext_f = ext_f.at[i].add(wrench)
+                params.friction[i], x, v, cfg.dt, cfg.p_mass)
+            impulse = m33.vadd(impulse, imp)
+            wrenches[i] = wrenches[i] + wr
 
     if cfg.n_controllers > 0 and mpm_action is not None:
         cidx = params.control_idx
-        act = mpm_action[jnp.clip(cidx, 0, cfg.n_controllers - 1)]
-        impulse = impulse + jnp.where(
-            (cidx >= 0)[:, None], 6e-4 * act * cfg.dt, 0.0)
+        sel = jnp.clip(cidx, 0, cfg.n_controllers - 1)
+        on = cidx >= 0
+        impulse = tuple(
+            impulse[d] + jnp.where(on, 6e-4 * mpm_action[sel, d] * cfg.dt, 0.0)
+            for d in range(3))
+
+    # --- dense B-spline transfer operators -----------------------------------
+    W, WD = axis_weights(cfg, x)
+    Hyz, HyzDy, HyzDz = hyz_family(cfg, W, WD)
 
     # --- P2G ---------------------------------------------------------------
-    grid = p2g(cfg, state, F_new, stress, impulse, scatter_method)
+    grid = p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
 
     # --- grid ops + contact --------------------------------------------------
     coords = grid_coords(cfg)
@@ -205,50 +287,55 @@ def substep(
 
     if cfg.collision_type == CONTACT_MIXED:
         grid_v_mixed = boundary_condition(cfg, coords, g_v)
-        v_tmp = gather_particles(cfg, grid_v_mixed, state.x)
+        v_tmp = gather_dense(cfg, W, Hyz, grid_v_mixed)
         v_tgt = v_tmp
         life = 1.0 / (cfg.substeps - k)
         for i in range(n_prims):
             if not cfg.primitives_contact[i]:
                 continue
-            v_tgt, wrench = contact_mod.collide_mixed(
+            v_tgt, wr = contact_mod.collide_mixed(
                 prims[i], bodies.pos[i], bodies.quat[i], bodies.v[i], bodies.w[i],
                 params.friction[i], params.softness[i],
-                state.x, v_tgt, cfg.p_mass, cfg.dt, life)
-            ext_f = ext_f.at[i].add(wrench)
+                x, v_tgt, cfg.p_mass, cfg.dt, life)
+            wrenches[i] = wrenches[i] + wr
 
-        # scatter the velocity correction back (grid_op_mixed4, alpha = 2.0)
+        # splat the velocity correction back (grid_op_mixed4, alpha = 2.0)
         alpha = 2.0
-        base, fx, w = bspline(state.x, cfg.inv_dx)
-        dv = v_tmp - v_tgt
-        ids_list, vals_list = [], []
-        for off in OFFSETS:
-            weight = w[off[0], :, 0] * w[off[1], :, 1] * w[off[2], :, 2]
-            ids_list.append(_cell_ids(cfg, base, off))
-            vals_list.append(-alpha * weight[:, None] * dv)
-        corr = scatter_add(jnp.concatenate(ids_list), jnp.concatenate(vals_list),
-                           cfg.n_cells, method=scatter_method)
-        grid_v_out = jnp.where(mask[:, None], grid_v_mixed + corr, 0.0)
+        dv = m33.vsub(v_tmp, v_tgt)
+        corr = splat_channels(cfg, W, Hyz, [-alpha * dv[d] for d in range(3)])
+        grid_v_out = tuple(
+            jnp.where(mask, grid_v_mixed[d] + corr[d], 0.0) for d in range(3))
     elif cfg.collision_type == CONTACT_GRID:
-        grid_pos = coords.astype(dtype) * cfg.dx
+        xg, yg, zg = coords
+        shape = jnp.broadcast_shapes(g_v[0].shape, xg.shape)
+        grid_pos = (
+            jnp.broadcast_to(xg.astype(dtype) * cfg.dx, shape),
+            jnp.broadcast_to(yg.astype(dtype) * cfg.dx, shape),
+            jnp.broadcast_to(zg.astype(dtype) * cfg.dx, shape),
+        )
         v_out = g_v  # contact first, boundary after (grid_op :290-296)
         for i in range(n_prims):
             if not cfg.primitives_contact[i]:
                 continue
-            v_new, wrench = contact_mod.collide_grid(
+            v_new, wr = contact_mod.collide_grid(
                 prims[i], bodies.pos[i], bodies.quat[i], bodies.v[i], bodies.w[i],
                 params.friction[i], params.softness[i],
                 grid_pos, v_out, cfg.dt, grid_m)
-            # contact only touches non-empty cells
-            v_out = jnp.where(mask[:, None], v_new, v_out)
-            ext_f = ext_f.at[i].add(wrench)
-        # reference applies bc after contact in grid mode (grid_op :296)
+            v_out = tuple(jnp.where(mask, v_new[d], v_out[d]) for d in range(3))
+            wrenches[i] = wrenches[i] + wr
         grid_v_out = boundary_condition(cfg, coords, v_out)
-        grid_v_out = jnp.where(mask[:, None], grid_v_out, 0.0)
+        grid_v_out = tuple(jnp.where(mask, grid_v_out[d], 0.0) for d in range(3))
     else:
         grid_v_out = boundary_condition(cfg, coords, g_v)
 
     # --- G2P + advection -----------------------------------------------------
-    v_new, C_new, x_new = g2p(cfg, grid_v_out, state.x)
-    new_state = MPMState(x=x_new, v=v_new, C=C_new, F=F_new)
+    v_new, C_new, x_new = g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, grid_v_out, x)
+
+    new_state = MPMState(
+        x=jnp.stack(x_new),
+        v=jnp.stack(v_new),
+        C=m33.to_mat_array(C_new),
+        F=m33.to_mat_array(F_new),
+    )
+    ext_f = jnp.stack(wrenches)
     return new_state, ext_f

@@ -1,0 +1,344 @@
+"""JAX-native articulated rigid-body dynamics (replaces Jade/nimblephysics).
+
+The reference steps rigid bodies through the C++ Jade engine and hand-chains
+Jacobians for the backward pass (``softmac/engine/rigid_simulator.py``). Here
+the dynamics are a pure jnp function inside the same jitted rollout as the
+MPM, so coupling crosses no device/host boundary and ``jax.grad``
+differentiates end-to-end — no Jacobian bookkeeping.
+
+Supported structure (covers every reference scene): a world-rooted tree where
+each moving link attaches through a single floating / revolute / prismatic
+joint to a link that is fixed with respect to the world (glass/bowl/bottle:
+floating; door: revolute; gripper: fixed palm + two prismatic fingers).
+
+State layout parity with Jade's world state (``rigid_simulator.py:55-58``):
+``q`` = per-skeleton generalized positions concatenated (floating = [exp(3),
+pos(3)], revolute/prismatic = [theta]), ``qd`` likewise (floating =
+[w(3), v(3)] world-frame). Floor contact is a differentiable penalty
+(replacing Jade's LCP floor, ``rigid_simulator.py:79-83``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from softmac_tpu.engine import quat as Q
+from softmac_tpu.engine.meshio import UrdfModel, load_obj, load_urdf
+from softmac_tpu.engine.quat import rpy2mat
+from softmac_tpu.engine.types import BodyState
+
+
+@struct.dataclass
+class RigidState:
+    q: jnp.ndarray   # (D,)
+    qd: jnp.ndarray  # (D,)
+
+
+@dataclasses.dataclass
+class _BodyDef:
+    """One moving (or fixed) collision body = one contact primitive."""
+    jtype: str                  # floating | revolute | prismatic | fixed
+    q_offset: int               # dof offset into the global q vector (-1 if fixed)
+    ndof: int
+    mass: float
+    inertia: np.ndarray         # (3,3) body frame
+    joint_pos: np.ndarray       # (3,) world joint origin (non-floating)
+    joint_rot: np.ndarray       # (3,3) world joint frame (non-floating)
+    axis: np.ndarray            # (3,) joint axis in joint frame
+    gravity_on: bool
+    support_points: np.ndarray  # (K,3) body-frame points for floor penalty
+    skeleton: int
+
+
+@jax.custom_vjp
+def grad_scale(x, s: float):
+    """Identity whose cotangent is scaled by s — implements the reference's
+    ``ext_grad_scale`` gradient damping on the mpm->rigid path
+    (rigid_simulator.py:150, demo_door.py:116)."""
+    return x
+
+
+def _grad_scale_fwd(x, s):
+    return x, s
+
+
+def _grad_scale_bwd(s, g):
+    return (jax.tree.map(lambda t: t * s, g), None)
+
+
+grad_scale.defvjp(_grad_scale_fwd, _grad_scale_bwd)
+
+
+class RigidModel:
+    """Force-controlled rigid simulator built from URDFs.
+
+    Pure-function API: ``step(state, action, ext_f) -> state`` and
+    ``body_states(state) -> BodyState``; all structure is closed over as
+    trace-time constants.
+    """
+
+    def __init__(self, urdf_models: Sequence[UrdfModel], cfg, env_dt: float,
+                 dtype=jnp.float32):
+        self.dt = float(env_dt)
+        self.dtype = dtype
+        self.gravity = np.asarray(cfg.gravity, np.float64)
+        self.enable_floor = bool(cfg.enable_floor)
+        self.floor_height = float(cfg.get("floor_height", -0.08))
+        self.floor_stiffness = float(cfg.get("floor_stiffness", 1e4))
+        self.floor_damping = float(cfg.get("floor_damping", 10.0))
+        self.ext_grad_scale = float(cfg.get("ext_grad_scale", 1.0))
+
+        self.bodies: List[_BodyDef] = []
+        self.skeleton_ndof: List[int] = []
+        offset = 0
+        per_prim_flags = list(getattr(cfg, "enable_external_force", [])) or None
+
+        for skel_id, model in enumerate(urdf_models):
+            links = {l.name: l for l in model.links}
+            # accumulate world pose of fixed parents
+            world_pose = {}
+            roots = {j.parent for j in model.joints} - {j.child for j in model.joints}
+            for r in roots:
+                world_pose[r] = (np.zeros(3), np.eye(3))
+
+            ndof_skel = 0
+            for j in model.joints:
+                ppos, prot = world_pose.get(j.parent, (np.zeros(3), np.eye(3)))
+                jpos = ppos + prot @ j.origin_xyz
+                jrot = prot @ np.asarray(rpy2mat(tuple(j.origin_rpy)))
+                world_pose[j.child] = (jpos, jrot)
+
+                link = links[j.child]
+                if link.mesh_path is None:
+                    continue
+                ndof = {"floating": 6, "revolute": 1, "prismatic": 1,
+                        "continuous": 1, "fixed": 0}[j.jtype]
+                verts, _ = load_obj(link.mesh_path)
+                support = _support_points(verts)
+                self.bodies.append(_BodyDef(
+                    jtype="revolute" if j.jtype == "continuous" else j.jtype,
+                    q_offset=offset + ndof_skel if ndof > 0 else -1,
+                    ndof=ndof,
+                    mass=link.mass,
+                    inertia=link.inertia,
+                    joint_pos=jpos,
+                    joint_rot=jrot,
+                    axis=np.asarray(j.axis, np.float64),
+                    gravity_on=True,
+                    support_points=support,
+                    skeleton=skel_id,
+                ))
+                ndof_skel += ndof
+            offset += ndof_skel
+            self.skeleton_ndof.append(ndof_skel)
+
+        if per_prim_flags is not None:
+            for b, flag in zip(self.bodies, per_prim_flags):
+                b.gravity_on = bool(flag)
+
+        self.state_dim_half = offset
+        self.state_dim = 2 * offset
+        self.action_dim = offset
+        self.n_primitives = len(self.bodies)
+
+        # initial state
+        if len(cfg.init_state) > 0:
+            init = np.asarray(cfg.init_state, np.float64)
+            assert init.shape[0] == self.state_dim, (
+                f"init_state has {init.shape[0]} entries, expected {self.state_dim}")
+            self._q0 = init[: self.state_dim_half]
+            self._qd0 = init[self.state_dim_half:]
+        else:
+            self._q0 = np.zeros(self.state_dim_half)
+            self._qd0 = np.zeros(self.state_dim_half)
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> RigidState:
+        return RigidState(q=jnp.asarray(self._q0, self.dtype),
+                          qd=jnp.asarray(self._qd0, self.dtype))
+
+    def body_states(self, state: RigidState) -> BodyState:
+        """Per-primitive world pose/velocity (what contact + losses consume;
+        the analogue of set_ext_state, rigid_simulator.py:176-201)."""
+        pos, quat, v, w = [], [], [], []
+        for b in self.bodies:
+            o = b.q_offset
+            if b.jtype == "floating":
+                bq = Q.w2quat(state.q[o:o + 3])
+                pos.append(state.q[o + 3:o + 6])
+                quat.append(bq)
+                w.append(state.qd[o:o + 3])
+                v.append(state.qd[o + 3:o + 6])
+            elif b.jtype == "revolute":
+                axis_w = jnp.asarray(b.joint_rot @ b.axis, self.dtype)
+                bq = Q.w2quat(axis_w * state.q[o])
+                pos.append(jnp.asarray(b.joint_pos, self.dtype))
+                quat.append(bq)
+                w.append(axis_w * state.qd[o])
+                v.append(jnp.zeros(3, self.dtype))
+            elif b.jtype == "prismatic":
+                axis_w = jnp.asarray(b.joint_rot @ b.axis, self.dtype)
+                pos.append(jnp.asarray(b.joint_pos, self.dtype) + axis_w * state.q[o])
+                quat.append(Q.mat2quat(jnp.asarray(b.joint_rot, self.dtype)))
+                w.append(jnp.zeros(3, self.dtype))
+                v.append(axis_w * state.qd[o])
+            else:  # fixed
+                pos.append(jnp.asarray(b.joint_pos, self.dtype))
+                quat.append(Q.mat2quat(jnp.asarray(b.joint_rot, self.dtype)))
+                w.append(jnp.zeros(3, self.dtype))
+                v.append(jnp.zeros(3, self.dtype))
+        return BodyState(pos=jnp.stack(pos), quat=jnp.stack(quat),
+                         v=jnp.stack(v), w=jnp.stack(w))
+
+    # ------------------------------------------------------------------
+    def step(self, state: RigidState, action: Optional[jnp.ndarray],
+             ext_f: jnp.ndarray) -> RigidState:
+        """Semi-implicit Euler step. ext_f: (B, 6) window-averaged wrench
+        [force, torque-about-body-origin] per primitive."""
+        if action is None:
+            action = jnp.zeros((self.action_dim,), self.dtype)
+        action = action.reshape(-1)[: self.action_dim]
+
+        q, qd = state.q, state.qd
+        new_q, new_qd = q, qd
+        g = jnp.asarray(self.gravity, self.dtype)
+        dt = self.dt
+
+        for i, b in enumerate(self.bodies):
+            o = b.q_offset
+            f_ext = jnp.where(b.gravity_on, ext_f[i, :3], jnp.zeros(3, self.dtype))
+            t_ext = jnp.where(b.gravity_on, ext_f[i, 3:], jnp.zeros(3, self.dtype))
+
+            if b.jtype == "floating":
+                exp, pos = q[o:o + 3], q[o + 3:o + 6]
+                w, v = qd[o:o + 3], qd[o + 3:o + 6]
+                bq = Q.w2quat(exp)
+
+                # action layout [torque(3), force(3)] per free joint, world frame
+                tau = action[o:o + 3] + t_ext
+                force = action[o + 3:o + 6] + f_ext
+                if b.gravity_on:
+                    force = force + b.mass * g
+
+                if self.enable_floor:
+                    f_fl, t_fl = self._floor_wrench(b, pos, bq, v, w)
+                    force = force + f_fl
+                    tau = tau + t_fl
+
+                R = Q.quat2mat(bq)
+                I_w = R @ jnp.asarray(b.inertia, self.dtype) @ R.T
+                w_dot = jnp.linalg.solve(
+                    I_w, tau - jnp.cross(w, I_w @ w))
+                v_new = v + dt * force / b.mass
+                w_new = w + dt * w_dot
+                pos_new = pos + dt * v_new
+                bq_new = Q.qmul(Q.w2quat(w_new * dt), bq)
+                exp_new = Q.quat2w(bq_new)
+
+                new_q = new_q.at[o:o + 3].set(exp_new).at[o + 3:o + 6].set(pos_new)
+                new_qd = new_qd.at[o:o + 3].set(w_new).at[o + 3:o + 6].set(v_new)
+
+            elif b.jtype == "revolute":
+                axis_w = jnp.asarray(b.joint_rot @ b.axis, self.dtype)
+                # torque about the joint axis from the body-origin wrench
+                # (body origin == joint origin for the reference's URDFs)
+                tau = action[o] + jnp.dot(axis_w, t_ext)
+                if b.gravity_on:
+                    bq = Q.w2quat(axis_w * q[o])
+                    com_w = Q.qrot(bq, jnp.zeros(3, self.dtype))  # com at origin
+                    tau = tau + jnp.dot(axis_w, jnp.cross(com_w, b.mass * g))
+                I_a = float(b.axis @ b.inertia @ b.axis)
+                qdd = tau / I_a
+                qd_new = qd[o] + dt * qdd
+                new_qd = new_qd.at[o].set(qd_new)
+                new_q = new_q.at[o].set(q[o] + dt * qd_new)
+
+            elif b.jtype == "prismatic":
+                axis_w = jnp.asarray(b.joint_rot @ b.axis, self.dtype)
+                f_axis = action[o] + jnp.dot(axis_w, f_ext)
+                if b.gravity_on:
+                    f_axis = f_axis + jnp.dot(axis_w, b.mass * g)
+                qdd = f_axis / b.mass
+                qd_new = qd[o] + dt * qdd
+                new_qd = new_qd.at[o].set(qd_new)
+                new_q = new_q.at[o].set(q[o] + dt * qd_new)
+            # fixed: nothing
+
+        return RigidState(q=new_q, qd=new_qd)
+
+    # ------------------------------------------------------------------
+    def _floor_wrench(self, b: _BodyDef, pos, bq, v, w):
+        """Spring-damper floor penalty at precomputed support points."""
+        pts = jnp.asarray(b.support_points, self.dtype)  # (K,3)
+        p_w = Q.qrot(jnp.broadcast_to(bq, (pts.shape[0], 4)), pts) + pos
+        r = p_w - pos
+        v_pt = v + jnp.cross(jnp.broadcast_to(w, r.shape), r)
+        pen = self.floor_height - p_w[:, 1]
+        active = pen > 0.0
+        pen = jnp.where(active, pen, 0.0)
+        fn = self.floor_stiffness * pen - self.floor_damping * v_pt[:, 1] * active
+        fn = jnp.maximum(fn, 0.0)
+        # tangential: viscous friction proportional to normal force
+        ft = -jnp.stack([v_pt[:, 0], jnp.zeros_like(fn), v_pt[:, 2]], axis=-1)
+        f = jnp.zeros_like(ft).at[:, 1].set(fn) + 2.0 * fn[:, None] * ft
+        f = jnp.where(active[:, None], f, 0.0)
+        tau = jnp.sum(jnp.cross(r, f), axis=0)
+        return jnp.sum(f, axis=0), tau
+
+
+def _support_points(verts: np.ndarray, k: int = 8) -> np.ndarray:
+    """Bounding-box corners of the collision mesh (floor-penalty contacts)."""
+    lo, hi = verts.min(0), verts.max(0)
+    corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                        for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
+    return corners
+
+
+class RigidVelocityModel:
+    """Velocity-controlled rigid bodies (replaces
+    ``softmac/engine/rigid_simulator_vel.py``): no dynamics — actions set each
+    body's (w, v) for the next window, poses integrate kinematically."""
+
+    def __init__(self, n_primitives: int, cfg, substeps: int, env_dt: float,
+                 dtype=jnp.float32):
+        self.n_primitives = n_primitives
+        self.substeps = substeps
+        self.dtype = dtype
+        init = np.asarray(cfg.init_state, np.float64)
+        assert init.shape[0] == 12 * n_primitives
+        self._init = init
+
+    def init_bodies(self) -> BodyState:
+        n = self.n_primitives
+        pos, quat, v, w = [], [], [], []
+        for i in range(n):
+            pose = self._init[i * 6: i * 6 + 6]
+            vel = self._init[n * 6 + i * 6: n * 6 + i * 6 + 6]
+            pos.append(pose[3:])
+            quat.append(np.asarray(Q.w2quat(jnp.asarray(pose[:3]))))
+            w.append(vel[:3])
+            v.append(vel[3:])
+        return BodyState(
+            pos=jnp.asarray(np.stack(pos), self.dtype),
+            quat=jnp.asarray(np.stack(quat), self.dtype),
+            v=jnp.asarray(np.stack(v), self.dtype),
+            w=jnp.asarray(np.stack(w), self.dtype),
+        )
+
+    @staticmethod
+    def forward_kinematics(bodies: BodyState, dt: float) -> BodyState:
+        """One-substep pose integration (primitive_base.py:280-283)."""
+        pos = bodies.pos + bodies.v * dt
+        quat = Q.qmul(Q.w2quat(bodies.w * dt), bodies.quat)
+        return bodies.replace(pos=pos, quat=quat)
+
+    def apply_action(self, bodies: BodyState, action: jnp.ndarray) -> BodyState:
+        """Set (w, v) from the action for the coming window
+        (primitive_base.py:299-313: action = [w(3), v(3)] per primitive)."""
+        a = action.reshape(self.n_primitives, 6).astype(self.dtype)
+        return bodies.replace(w=a[:, :3], v=a[:, 3:])

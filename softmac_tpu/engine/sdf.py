@@ -20,77 +20,102 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from softmac_tpu.engine.quat import inv_trans, qrot
 from softmac_tpu.engine.types import SDFParams
+from softmac_tpu.ops import m33
 
 BIG = 1e10
 
 
 # ======================================================================
-# Device-side sampling
+# Device-side sampling (struct-of-arrays: points are vec tuples of (N,))
 # ======================================================================
-def sample_sdf_local(prim: SDFParams, p: jnp.ndarray) -> jnp.ndarray:
-    """Trilinear SDF sample at local points p (N,3). BIG outside the box."""
-    res = prim.table.shape
-    pos = (p - prim.lower) * prim.inv_dx
-    in_box = jnp.all((p >= prim.lower) & (p < prim.upper), axis=-1)
+def _stencil(prim: SDFParams, p):
+    """Shared trilinear stencil: in_box mask, 8 flat indices + weights."""
+    res = prim.res
+    in_box = ((p[0] >= prim.lower[0]) & (p[0] < prim.upper[0])
+              & (p[1] >= prim.lower[1]) & (p[1] < prim.upper[1])
+              & (p[2] >= prim.lower[2]) & (p[2] < prim.upper[2]))
 
-    base = jnp.floor(pos).astype(jnp.int32)
-    base = jnp.clip(base, 0, jnp.asarray([res[0] - 2, res[1] - 2, res[2] - 2]))
-    fx = pos - base.astype(pos.dtype)
-    fx = jnp.clip(fx, 0.0, 1.0)
+    base, fx = [], []
+    for d in range(3):
+        pos = (p[d] - prim.lower[d]) * prim.inv_dx
+        b = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res[d] - 2)
+        base.append(b)
+        fx.append(jnp.clip(pos - b.astype(pos.dtype), 0.0, 1.0))
 
-    flat = prim.table.reshape(-1)
-    out = jnp.zeros(p.shape[:-1], dtype=prim.table.dtype)
+    cells = []
     for i in (0, 1):
-        wi = (1.0 - fx[..., 0]) if i == 0 else fx[..., 0]
+        wi = fx[0] if i else (1.0 - fx[0])
         for j in (0, 1):
-            wj = (1.0 - fx[..., 1]) if j == 0 else fx[..., 1]
+            wj = fx[1] if j else (1.0 - fx[1])
             for k in (0, 1):
-                wk = (1.0 - fx[..., 2]) if k == 0 else fx[..., 2]
-                idx = ((base[..., 0] + i) * res[1] + (base[..., 1] + j)) * res[2] + (base[..., 2] + k)
-                out = out + wi * wj * wk * flat[idx]
+                wk = fx[2] if k else (1.0 - fx[2])
+                idx = ((base[0] + i) * res[1] + (base[1] + j)) * res[2] + (base[2] + k)
+                cells.append((idx, wi * wj * wk))
+    return in_box, cells
+
+
+def sample_sdf_local(prim: SDFParams, p) -> jnp.ndarray:
+    """Trilinear SDF sample at local vec-tuple points. BIG outside the box."""
+    in_box, cells = _stencil(prim, p)
+    out = 0.0
+    for idx, w in cells:
+        out = out + w * prim.table[idx]
     return jnp.where(in_box, out, BIG)
 
 
-def sample_normal_local(prim: SDFParams, p: jnp.ndarray) -> jnp.ndarray:
-    """Trilinear normal sample at local points p (N,3), normalized.
-    (0,1,0) outside the box (mesh.py:112)."""
-    res = prim.table.shape
-    pos = (p - prim.lower) * prim.inv_dx
-    in_box = jnp.all((p >= prim.lower) & (p < prim.upper), axis=-1)
-
-    base = jnp.floor(pos).astype(jnp.int32)
-    base = jnp.clip(base, 0, jnp.asarray([res[0] - 2, res[1] - 2, res[2] - 2]))
-    fx = pos - base.astype(pos.dtype)
-    fx = jnp.clip(fx, 0.0, 1.0)
-
-    flat = prim.normals.reshape(-1, 3)
-    out = jnp.zeros(p.shape, dtype=prim.normals.dtype)
-    for i in (0, 1):
-        wi = (1.0 - fx[..., 0]) if i == 0 else fx[..., 0]
-        for j in (0, 1):
-            wj = (1.0 - fx[..., 1]) if j == 0 else fx[..., 1]
-            for k in (0, 1):
-                wk = (1.0 - fx[..., 2]) if k == 0 else fx[..., 2]
-                idx = ((base[..., 0] + i) * res[1] + (base[..., 1] + j)) * res[2] + (base[..., 2] + k)
-                out = out + (wi * wj * wk)[..., None] * flat[idx]
-    norm = jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True) + 1e-14)
-    out = out / norm
-    fallback = jnp.zeros_like(out).at[..., 1].set(1.0)
-    return jnp.where(in_box[..., None], out, fallback)
+def sample_normal_local(prim: SDFParams, p):
+    """Trilinear normal sample (vec tuple), normalized; (0,1,0) outside the
+    box (mesh.py:112)."""
+    in_box, cells = _stencil(prim, p)
+    out = [0.0, 0.0, 0.0]
+    for idx, w in cells:
+        for d in range(3):
+            out[d] = out[d] + w * prim.normals[d][idx]
+    norm = jnp.sqrt(out[0] ** 2 + out[1] ** 2 + out[2] ** 2 + 1e-14)
+    n = tuple(o / norm for o in out)
+    zero = jnp.zeros_like(norm)
+    return m33.vwhere(in_box, n, (zero, jnp.ones_like(norm), zero))
 
 
-def sample_sdf_world(prim: SDFParams, body_pos, body_quat, x: jnp.ndarray) -> jnp.ndarray:
-    """World-frame SDF query (primitive_base.py:53-56)."""
-    local = inv_trans(x, body_pos, body_quat)
-    return sample_sdf_local(prim, local)
+def sample_sdf_normal_local(prim: SDFParams, p):
+    """Fused trilinear sample of (sdf, normal) via 8 row-gathers from the
+    interleaved (R, 4) table — 4x fewer gather ops than separate channels."""
+    in_box, cells = _stencil(prim, p)
+    sdf = 0.0
+    nx = ny = nz = 0.0
+    for idx, w in cells:
+        row = prim.combined[idx]      # (..., 4)
+        sdf = sdf + w * row[..., 0]
+        nx = nx + w * row[..., 1]
+        ny = ny + w * row[..., 2]
+        nz = nz + w * row[..., 3]
+    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-14)
+    n = (nx / norm, ny / norm, nz / norm)
+    zero = jnp.zeros_like(norm)
+    n = m33.vwhere(in_box, n, (zero, jnp.ones_like(norm), zero))
+    return jnp.where(in_box, sdf, BIG), n
 
 
-def sample_normal_world(prim: SDFParams, body_pos, body_quat, x: jnp.ndarray) -> jnp.ndarray:
+def _inv_trans(p, bp, bq):
+    qinv = m33.qnorm(m33.qconj(bq))
+    return m33.qrot(qinv, m33.vsub(p, bp))
+
+
+def sample_sdf_normal_world(prim: SDFParams, bp, bq, x):
+    """World-frame fused (sdf, normal) query."""
+    sdf, n = sample_sdf_normal_local(prim, _inv_trans(x, bp, bq))
+    return sdf, m33.qrot(bq, n)
+
+
+def sample_sdf_world(prim: SDFParams, bp, bq, x) -> jnp.ndarray:
+    """World-frame SDF query (primitive_base.py:53-56). bp/bq/x: tuples."""
+    return sample_sdf_local(prim, _inv_trans(x, bp, bq))
+
+
+def sample_normal_world(prim: SDFParams, bp, bq, x):
     """World-frame normal query (primitive_base.py:58-61)."""
-    local = inv_trans(x, body_pos, body_quat)
-    return qrot(jnp.broadcast_to(body_quat, x.shape[:-1] + (4,)), sample_normal_local(prim, local))
+    return m33.qrot(bq, sample_normal_local(prim, _inv_trans(x, bp, bq)))
 
 
 # ======================================================================
@@ -195,18 +220,28 @@ def _bake_chunk(points, verts, faces, face_normals):
     wn = _winding_number(points, tri_a, tri_b, tri_c)
     inside = wn > 0.5
     sdf = jnp.where(inside, -d, d)
-    # normal: direction away from surface; fall back to face normal when the
-    # point sits (numerically) on the surface (mesh.py:210-215 semantics)
-    normal = (points - cp) * jnp.where(inside, -1.0, 1.0)[:, None]
-    nl = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    fn = face_normals[nearest]
-    normal = jnp.where(nl > 1e-9, normal / jnp.maximum(nl, 1e-30), fn)
+    # normal table = nearest triangle's outward face normal. This matches the
+    # reference bake exactly (mesh.py:210-215: its point-to-surface direction
+    # is dead code — the `length < 1e6` mask always selects face_normal), and
+    # face normals are smooth near the surface where closest-point directions
+    # are noisy — noise there destabilizes the contact friction.
+    normal = face_normals[nearest]
+    del cp
     return sdf, normal
+
+
+def weld_vertices(verts: np.ndarray, faces: np.ndarray, tol: float = 1e-8):
+    """Merge duplicate vertices so winding numbers see a crack-free surface
+    (OBJ exports often store unwelded per-face corners)."""
+    keys = np.round(verts / tol).astype(np.int64)
+    _, first, inverse = np.unique(keys, axis=0, return_index=True, return_inverse=True)
+    return verts[first], inverse[faces].astype(np.int32)
 
 
 def bake_mesh_sdf(verts: np.ndarray, faces: np.ndarray, margin: float, dx: float):
     """Bake an SDF grid around the mesh (layout parity with the reference's
     trimesh2sdf, mesh.py:178-240: cell-centered start, lower at first point)."""
+    verts, faces = weld_vertices(verts, faces)
     bbox = np.stack([verts.min(0), verts.max(0)])
     center = (bbox[0] + bbox[1]) / 2
     res = np.ceil((bbox[1] - bbox[0] + margin * 2) / dx).astype(int)
@@ -251,7 +286,7 @@ def preprocess_sdf(verts: np.ndarray, faces: np.ndarray, cache_dir: str | Path):
     """Bake (or load cached) SDF for a mesh; npz cache keyed by content hash
     (same caching idea as mesh.py:136-165, first-party format)."""
     h = hashlib.sha256()
-    h.update(b"softmac-tpu-sdf-v1")
+    h.update(b"softmac-tpu-sdf-v2")
     h.update(np.ascontiguousarray(verts).tobytes())
     h.update(np.ascontiguousarray(faces).tobytes())
     key = h.hexdigest()[:32]
@@ -284,10 +319,16 @@ def preprocess_sdf(verts: np.ndarray, faces: np.ndarray, cache_dir: str | Path):
 
 
 def sdf_params_from_bake(bake: dict, dtype=jnp.float32) -> SDFParams:
+    res = tuple(int(r) for r in bake["res"])
+    sdf_flat = np.asarray(bake["sdf"], np.float64).reshape(-1)
+    n_flat = np.asarray(bake["normal"], np.float64).reshape(-1, 3)
+    combined = np.concatenate([sdf_flat[:, None], n_flat], axis=1)
     return SDFParams(
-        table=jnp.asarray(bake["sdf"], dtype),
-        normals=jnp.asarray(bake["normal"], dtype),
+        table=jnp.asarray(sdf_flat, dtype),
+        normals=jnp.asarray(n_flat.T, dtype),
+        combined=jnp.asarray(combined, dtype),
         lower=jnp.asarray(bake["position"][0], dtype),
         upper=jnp.asarray(bake["position"][1], dtype),
         inv_dx=jnp.asarray(1.0 / bake["dx"][0], dtype),
+        res=res,
     )

@@ -28,11 +28,21 @@ CONTACT_MIXED = 2
 
 @struct.dataclass
 class MPMState:
-    """Per-particle MLS-MPM state: position, velocity, affine field, deformation."""
-    x: jnp.ndarray  # (N, 3)
-    v: jnp.ndarray  # (N, 3)
-    C: jnp.ndarray  # (N, 3, 3)
-    F: jnp.ndarray  # (N, 3, 3)
+    """Per-particle MLS-MPM state: position, velocity, affine field, deformation.
+
+    Layout is struct-of-arrays with the particle axis LAST — the TPU lane
+    dimension — so all per-particle math is elementwise on lane-aligned (N,)
+    slices (see ops/m33.py for why (N,3)-style layouts are pathological).
+    """
+    x: jnp.ndarray  # (3, N)
+    v: jnp.ndarray  # (3, N)
+    C: jnp.ndarray  # (3, 3, N)
+    F: jnp.ndarray  # (3, 3, N)
+
+    @property
+    def x_nd(self) -> jnp.ndarray:
+        """(N, 3) view for losses / IO."""
+        return self.x.T
 
 
 @struct.dataclass
@@ -52,12 +62,17 @@ class BodyState:
 
 @struct.dataclass
 class SDFParams:
-    """Precomputed signed-distance tables for one primitive (device arrays)."""
-    table: jnp.ndarray    # (rx, ry, rz)
-    normals: jnp.ndarray  # (rx, ry, rz, 3)
+    """Precomputed signed-distance tables for one primitive (device arrays).
+
+    Tables are stored flattened / channel-major so device sampling is pure
+    1-D lane-aligned gathers."""
+    table: jnp.ndarray    # (rx*ry*rz,)
+    normals: jnp.ndarray  # (3, rx*ry*rz)
+    combined: jnp.ndarray  # (rx*ry*rz, 4): [sdf, nx, ny, nz] row-gather layout
     lower: jnp.ndarray    # (3,)
     upper: jnp.ndarray    # (3,)
     inv_dx: jnp.ndarray   # scalar
+    res: Tuple[int, int, int] = struct.field(pytree_node=False, default=(0, 0, 0))
 
 
 @struct.dataclass
@@ -116,15 +131,18 @@ class MPMConfig:
 
 
 def mpm_state_zero(cfg: MPMConfig, x: jnp.ndarray) -> MPMState:
-    """Initial state: particles at x, zero velocity, identity F, zero C
+    """Initial state: particles at x (N, 3), zero velocity, identity F, zero C
     (parity with reset_kernel, mpm_simulator.py:495-501)."""
     n = x.shape[0]
     dtype = cfg.dtype
+    eyeN = jnp.zeros((3, 3, n), dtype)
+    for d in range(3):
+        eyeN = eyeN.at[d, d].set(1.0)
     return MPMState(
-        x=x.astype(dtype),
-        v=jnp.zeros((n, 3), dtype),
-        C=jnp.zeros((n, 3, 3), dtype),
-        F=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n, 3, 3)),
+        x=x.T.astype(dtype),
+        v=jnp.zeros((3, n), dtype),
+        C=jnp.zeros((3, 3, n), dtype),
+        F=eyeN,
     )
 
 
@@ -134,15 +152,17 @@ def mpm_state_from_packed(cfg: MPMConfig, packed: jnp.ndarray) -> MPMState:
     n = packed.shape[0]
     dtype = cfg.dtype
     return MPMState(
-        x=packed[:, 0:3].astype(dtype),
-        v=packed[:, 3:6].astype(dtype),
-        F=packed[:, 6:15].reshape(n, 3, 3).astype(dtype),
-        C=packed[:, 15:24].reshape(n, 3, 3).astype(dtype),
+        x=packed[:, 0:3].T.astype(dtype),
+        v=packed[:, 3:6].T.astype(dtype),
+        F=packed[:, 6:15].reshape(n, 3, 3).transpose(1, 2, 0).astype(dtype),
+        C=packed[:, 15:24].reshape(n, 3, 3).transpose(1, 2, 0).astype(dtype),
     )
 
 
 def mpm_state_to_packed(state: MPMState) -> jnp.ndarray:
-    n = state.x.shape[0]
+    n = state.x.shape[-1]
     return jnp.concatenate(
-        [state.x, state.v, state.F.reshape(n, 9), state.C.reshape(n, 9)], axis=1
+        [state.x.T, state.v.T,
+         state.F.transpose(2, 0, 1).reshape(n, 9),
+         state.C.transpose(2, 0, 1).reshape(n, 9)], axis=1
     )

@@ -38,6 +38,13 @@ def make_scene(n=64, seed=0, ptype=MAT_ELASTIC, model=MODEL_NEOHOOKEAN,
     return cfg, params, state, (mu, lam)
 
 
+def unpack(state):
+    n = state.x.shape[-1]
+    return (np.asarray(state.x).T, np.asarray(state.v).T,
+            np.asarray(state.C).transpose(2, 0, 1),
+            np.asarray(state.F).transpose(2, 0, 1))
+
+
 @pytest.mark.parametrize("model,ptype", [
     (MODEL_NEOHOOKEAN, MAT_ELASTIC),
     (MODEL_COROTATED, MAT_ELASTIC),
@@ -48,28 +55,39 @@ def test_substep_matches_oracle(model, ptype):
     cfg, params, state, (mu, lam) = make_scene(model=model, ptype=ptype)
     bodies = BodyState.identity(0, jnp.float64)
 
-    step = jax.jit(lambda s: mpm.substep(cfg, params, (), s, bodies, 0)[0])
-
-    xo, vo, Co, Fo = (np.asarray(state.x), np.asarray(state.v),
-                      np.asarray(state.C), np.asarray(state.F))
+    xo, vo, Co, Fo = unpack(state)
     for it in range(30):
         state, _ = mpm.substep(cfg, params, (), state, bodies, 0)
         xo, vo, Co, Fo = oracle_substep(
             xo, vo, Co, Fo, dt=cfg.dt, n_grid=cfg.n_grid, mu=mu, lam=lam,
             gravity=(0.0, -9.8, 0.0), material_model=model, ptype=ptype,
             ground_friction=cfg.ground_friction)
-    np.testing.assert_allclose(state.x, xo, atol=1e-10)
-    np.testing.assert_allclose(state.v, vo, atol=1e-8)
-    np.testing.assert_allclose(state.C, Co, atol=1e-6)
-    np.testing.assert_allclose(state.F, Fo, atol=1e-10)
+    x, v, C, F = unpack(state)
+    np.testing.assert_allclose(x, xo, atol=1e-10)
+    np.testing.assert_allclose(v, vo, atol=1e-8)
+    np.testing.assert_allclose(C, Co, atol=1e-6)
+    np.testing.assert_allclose(F, Fo, atol=1e-10)
+
+
+def zero_mat(n):
+    z = jnp.zeros((n,), jnp.float64)
+    return ((z, z, z), (z, z, z), (z, z, z))
+
+
+def dense_grid(cfg, state, stress, impulse):
+    x = (state.x[0], state.x[1], state.x[2])
+    v = (state.v[0], state.v[1], state.v[2])
+    C = tuple(tuple(state.C[i, j] for j in range(3)) for i in range(3))
+    W, WD = mpm.axis_weights(cfg, x)
+    Hyz, HyzDy, HyzDz = mpm.hyz_family(cfg, W, WD)
+    return mpm.p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
 
 
 def test_mass_conservation():
     cfg, params, state, _ = make_scene(n=128)
-    F_tmp = state.F
-    grid = mpm.p2g(cfg, state, state.F, jnp.zeros_like(state.F),
-                   jnp.zeros_like(state.v))
-    total_mass = float(jnp.sum(grid[:, 0]))
+    z = jnp.zeros((128,), jnp.float64)
+    grid = dense_grid(cfg, state, zero_mat(128), (z, z, z))
+    total_mass = float(jnp.sum(grid[0]))
     np.testing.assert_allclose(total_mass, cfg.p_mass * cfg.n_particles, rtol=1e-12)
 
 
@@ -77,23 +95,61 @@ def test_momentum_conservation_no_gravity_interior():
     """Without gravity/boundary effects, P2G->G2P conserves linear momentum."""
     cfg, params, state, _ = make_scene(gravity=(0.0, 0.0, 0.0))
     rng = np.random.RandomState(3)
-    state = state.replace(v=jnp.asarray(0.1 * rng.randn(cfg.n_particles, 3)))
+    state = state.replace(v=jnp.asarray(0.1 * rng.randn(3, cfg.n_particles)))
     bodies = BodyState.identity(0, jnp.float64)
     new_state, _ = mpm.substep(cfg, params, (), state, bodies, 0)
-    p0 = np.sum(np.asarray(state.v), axis=0) * cfg.p_mass
-    p1 = np.sum(np.asarray(new_state.v), axis=0) * cfg.p_mass
+    p0 = np.sum(np.asarray(state.v), axis=1) * cfg.p_mass
+    p1 = np.sum(np.asarray(new_state.v), axis=1) * cfg.p_mass
     # exact up to the reference's grid-mass cutoff (cells with m <= 1e-10 are
     # zeroed, mpm_simulator.py:286), which drops a bounded momentum tail
     np.testing.assert_allclose(p1, p0, atol=1e-9)
 
 
-def test_scatter_methods_agree():
+def test_dense_splat_matches_scatter():
+    """The MXU splat must agree with a naive scatter-add P2G, including the
+    affine @ dpos momentum terms."""
     cfg, params, state, _ = make_scene(n=200, seed=5)
-    g1 = mpm.p2g(cfg, state, state.F, jnp.zeros_like(state.F),
-                 jnp.zeros_like(state.v), scatter_method="scatter")
-    g2 = mpm.p2g(cfg, state, state.F, jnp.zeros_like(state.F),
-                 jnp.zeros_like(state.v), scatter_method="sort")
-    np.testing.assert_allclose(g1, g2, atol=1e-12)
+    rng = np.random.RandomState(7)
+    state = state.replace(
+        v=jnp.asarray(0.2 * rng.randn(3, 200)),
+        C=jnp.asarray(0.5 * rng.randn(3, 3, 200)))
+    stress = tuple(tuple(jnp.asarray(rng.randn(200)) for _ in range(3))
+                   for _ in range(3))
+    imp = tuple(jnp.asarray(0.01 * rng.randn(200)) for _ in range(3))
+
+    grid = dense_grid(cfg, state, stress, imp)
+
+    # naive scatter oracle
+    ng = cfg.n_grid
+    x = np.asarray(state.x)
+    v = np.asarray(state.v)
+    C = np.asarray(state.C)
+    S = np.stack([[np.asarray(stress[i][j]) for j in range(3)] for i in range(3)])
+    I = np.stack([np.asarray(c) for c in imp])
+    base = np.floor(x * cfg.inv_dx - 0.5).astype(int)
+    fx = x * cfg.inv_dx - base
+    w = np.stack([0.5 * (1.5 - fx) ** 2, 0.75 - (fx - 1) ** 2, 0.5 * (fx - 0.5) ** 2])
+    coef = -cfg.dt * cfg.p_vol * 4 * cfg.inv_dx ** 2
+    affine = coef * S + cfg.p_mass * C
+    gm = np.zeros((ng, ng, ng))
+    gmom = np.zeros((3, ng, ng, ng))
+    for i in range(3):
+        for j in range(3):
+            for k in range(3):
+                weight = w[i, 0] * w[j, 1] * w[k, 2]
+                dpos = (np.array([i, j, k])[:, None] - fx) * cfg.dx
+                contrib = cfg.p_mass * v + I + np.einsum("abn,bn->an", affine, dpos)
+                idx = (base[0] + i, base[1] + j, base[2] + k)
+                np.add.at(gm, idx, weight * cfg.p_mass)
+                for d in range(3):
+                    np.add.at(gmom[d], idx, weight * contrib[d])
+
+    # dense grid form is ((y,z), x); oracle is (x, y, z)
+    gm_d = np.asarray(grid[0]).reshape(ng, ng, ng).transpose(2, 0, 1)
+    np.testing.assert_allclose(gm_d, gm, atol=1e-12)
+    for d in range(3):
+        g_d = np.asarray(grid[1 + d]).reshape(ng, ng, ng).transpose(2, 0, 1)
+        np.testing.assert_allclose(g_d, gmom[d], atol=1e-12)
 
 
 def test_substep_gradient_finite():
@@ -112,7 +168,7 @@ def test_substep_gradient_finite():
     # central-difference check on a few coordinates
     v0 = np.asarray(state.v).copy()
     eps = 1e-6
-    for (i, j) in [(0, 0), (7, 1), (20, 2)]:
+    for (i, j) in [(0, 0), (1, 7), (2, 20)]:
         vp = v0.copy(); vp[i, j] += eps
         vm = v0.copy(); vm[i, j] -= eps
         fd = (loss(jnp.asarray(vp)) - loss(jnp.asarray(vm))) / (2 * eps)
