@@ -100,11 +100,15 @@ class SoftMacEnv:
         quality = sim.quality * (0.5 if sim.dim == 3 else 1.0)
         substeps = int(round(cfg.env_dt / sim.dt))
         self.substeps = substeps
+        active_window = None
+        if "TPU" in cfg and cfg.TPU.get("active_window"):
+            active_window = tuple(cfg.TPU.active_window)
         self.mpm_cfg = MPMConfig(
             n_particles=self.n_particles,
             n_grid=int(128 * quality),
             dt=sim.dt,
             substeps=substeps,
+            active_window=active_window,
             material_model=sim.material_model,
             ptype=sim.ptype,
             collision_type=sim.collision_type,
@@ -238,15 +242,16 @@ class SoftMacEnv:
 
         def sub(c, k):
             mpm_s, bod = c
-            mpm_s, extf = mpm_mod.substep(
+            mpm_s, extf, aux = mpm_mod.substep(
                 cfg, self.mpm_params, self.prims, mpm_s, bod, k, mpm_action)
             if self.rigid_vel_model is not None:
                 bod = RigidVelocityModel.forward_kinematics(bod, cfg.dt)
-            return (mpm_s, bod), extf
+            return (mpm_s, bod), (extf, aux["window_overflow"])
 
-        (mpm, bodies_c), extf = jax.lax.scan(
+        (mpm, bodies_c), (extf, ovf) = jax.lax.scan(
             sub, (mpm, bodies_c), jnp.arange(cfg.substeps))
         ext_f = jnp.sum(extf, axis=0) / cfg.substeps  # window-averaged wrench
+        overflow = jnp.any(ovf)
 
         if self.rigid_vel_model is not None:
             bodies = self.rigid_vel_model.apply_action(
@@ -258,7 +263,7 @@ class SoftMacEnv:
         else:
             bodies = bodies_c
 
-        return (mpm, bodies, rigid), None
+        return (mpm, bodies, rigid), overflow
 
     # ==================================================================
     # imperative facade (reference API parity)
@@ -327,16 +332,16 @@ class SoftMacEnv:
         env_step = jax.checkpoint(self._env_step_fn)
 
         def block_fn(carry, action_block):
-            carry, _ = jax.lax.scan(env_step, carry, action_block)
+            carry, ovf = jax.lax.scan(env_step, carry, action_block)
             mpm, bodies, _ = carry
-            return carry, FrameSample(x=mpm.x_nd, bodies=bodies)
+            return carry, (FrameSample(x=mpm.x_nd, bodies=bodies), jnp.any(ovf))
 
         def rollout(actions, carry0):
             ab = actions.reshape(n_blocks, block, -1)
-            carry, samples = jax.lax.scan(block_fn, carry0, ab)
+            carry, (samples, ovf) = jax.lax.scan(block_fn, carry0, ab)
 
             loss_total = jnp.zeros((), self.dtype)
-            terms_acc = {}
+            terms_acc = {"window_overflow": jnp.any(ovf)}
             if self.loss is not None:
                 per_block = jax.lax.map(self.loss.terms, samples)
                 for k, v in per_block.items():

@@ -61,22 +61,48 @@ def _dot0(a, b):
                            preferred_element_type=a.dtype)
 
 
-def axis_weights(cfg: MPMConfig, x_vec):
-    """Dense per-axis B-spline weight matrices.
+def window_geometry(cfg: MPMConfig, x_vec):
+    """Active-window sizes and (dynamic) corner for this substep.
 
-    Returns (W, WD): lists of 3 arrays (ng, N) each. W[d][r, p] is the weight
-    of particle p on grid row r along axis d; WD[d] carries the extra
-    (offset - fx) factor (unscaled — multiply by dx for P2G's dpos).
+    Returns (sizes (3 ints), corner (3 traced int32 scalars), overflow bool).
+    With no window configured: full grid, corner 0, overflow False.
     """
     ng = cfg.n_grid
-    r = jnp.arange(ng, dtype=jnp.int32)[:, None]
+    if not cfg.active_window:
+        zero = jnp.int32(0)
+        return (ng, ng, ng), (zero, zero, zero), jnp.bool_(False)
+    sizes = tuple(int(w) for w in cfg.active_window)
+    corner = []
+    overflow = jnp.bool_(False)
+    for d in range(3):
+        pos = x_vec[d] * cfg.inv_dx - 0.5
+        base_min = jnp.floor(jnp.min(pos)).astype(jnp.int32)
+        c = jnp.clip(base_min - 1, 0, ng - sizes[d])
+        base_max = jnp.floor(jnp.max(pos)).astype(jnp.int32)
+        overflow = overflow | (base_max + 2 > c + sizes[d] - 1)
+        corner.append(c)
+    return sizes, tuple(corner), overflow
+
+
+def axis_weights(cfg: MPMConfig, x_vec, sizes=None, corner=None):
+    """Dense per-axis B-spline weight matrices over the active window.
+
+    Returns (W, WD): lists of 3 arrays (w_d, N) each. W[d][r, p] is the
+    weight of particle p on window row r along axis d; WD[d] carries the
+    extra (offset - fx) factor (unscaled — multiply by dx for P2G's dpos).
+    """
+    ng = cfg.n_grid
+    if sizes is None:
+        sizes = (ng, ng, ng)
+        corner = (jnp.int32(0),) * 3
     W, WD = [], []
     for d in range(3):
+        r = corner[d] + jnp.arange(sizes[d], dtype=jnp.int32)[:, None]
         pos = x_vec[d] * cfg.inv_dx
         b = jnp.floor(pos - 0.5).astype(jnp.int32)
         fx = pos - b.astype(pos.dtype)
         w = (0.5 * (1.5 - fx) ** 2, 0.75 - (fx - 1.0) ** 2, 0.5 * (fx - 0.5) ** 2)
-        Wd = jnp.zeros((ng, x_vec[d].shape[0]), pos.dtype)
+        Wd = jnp.zeros((sizes[d], x_vec[d].shape[0]), pos.dtype)
         WDd = jnp.zeros_like(Wd)
         for o in range(3):
             hit = r == (b[None, :] + o)
@@ -88,18 +114,18 @@ def axis_weights(cfg: MPMConfig, x_vec):
 
 
 def hyz_family(cfg: MPMConfig, W, WD):
-    """The three Khatri-Rao (y,z) pair matrices, (ng*ng, N) each."""
-    ng = cfg.n_grid
+    """The three Khatri-Rao (y,z) pair matrices, (wy*wz, N) each."""
+    wy, wz = W[1].shape[0], W[2].shape[0]
 
     def pair(a, b):
-        return (a[:, None, :] * b[None, :, :]).reshape(ng * ng, -1)
+        return (a[:, None, :] * b[None, :, :]).reshape(wy * wz, -1)
 
     return pair(W[1], W[2]), pair(WD[1], W[2]), pair(W[1], WD[2])
 
 
 def p2g_dense(cfg: MPMConfig, W, WD, Hyz, HyzDy, HyzDz, v_vec, C, stress, impulse):
-    """Dense P2G. Returns grid channels (mass, mom x/y/z), each (ng*ng, ng)."""
-    ng = cfg.n_grid
+    """Dense P2G. Returns grid channels (mass, mom x/y/z), each (wy*wz, wx)."""
+    ng = W[0].shape[0]
     n = v_vec[0].shape[0]
     dtype = v_vec[0].dtype
 
@@ -148,9 +174,9 @@ def p2g_dense(cfg: MPMConfig, W, WD, Hyz, HyzDy, HyzDz, v_vec, C, stress, impuls
 
 def splat_channels(cfg: MPMConfig, W, Hyz, values):
     """Dense splat of plain per-particle channels (no affine): values is a
-    list of (N,) arrays -> list of (ng^2, ng) grids. (grid_op_mixed4's
+    list of (N,) arrays -> list of (wy*wz, wx) grids. (grid_op_mixed4's
     correction scatter uses this.)"""
-    ng = cfg.n_grid
+    ng = W[0].shape[0]
     Wx = W[0]
     r = jnp.concatenate([Wx * v[None, :] for v in values], axis=0)
     out = _dotT(Hyz, r)
@@ -185,13 +211,17 @@ def gather_dense(cfg: MPMConfig, W, Hyz, grid_v):
     )
 
 
-def grid_coords(cfg: MPMConfig):
-    """Cell coordinates of the (ng^2, ng) grid form: (y, z) rows, x cols."""
+def grid_coords(cfg: MPMConfig, sizes=None, corner=None):
+    """Global cell coordinates of the (wy*wz, wx) window grid form."""
     ng = cfg.n_grid
-    row = jnp.arange(ng * ng, dtype=jnp.int32)[:, None]
-    y = row // ng
-    z = row % ng
-    x = jnp.arange(ng, dtype=jnp.int32)[None, :]
+    if sizes is None:
+        sizes = (ng, ng, ng)
+        corner = (jnp.int32(0),) * 3
+    wx, wy, wz = sizes
+    row = jnp.arange(wy * wz, dtype=jnp.int32)[:, None]
+    y = corner[1] + row // wz
+    z = corner[2] + row % wz
+    x = corner[0] + jnp.arange(wx, dtype=jnp.int32)[None, :]
     return x, y, z
 
 
@@ -274,15 +304,16 @@ def substep(
             impulse[d] + jnp.where(on, 6e-4 * mpm_action[sel, d] * cfg.dt, 0.0)
             for d in range(3))
 
-    # --- dense B-spline transfer operators -----------------------------------
-    W, WD = axis_weights(cfg, x)
+    # --- dense B-spline transfer operators (active window) -------------------
+    sizes, corner, overflow = window_geometry(cfg, x)
+    W, WD = axis_weights(cfg, x, sizes, corner)
     Hyz, HyzDy, HyzDz = hyz_family(cfg, W, WD)
 
     # --- P2G ---------------------------------------------------------------
     grid = p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
 
     # --- grid ops + contact --------------------------------------------------
-    coords = grid_coords(cfg)
+    coords = grid_coords(cfg, sizes, corner)
     g_v, mask, grid_m = grid_normalize(cfg, grid, params.gravity)
 
     if cfg.collision_type == CONTACT_MIXED:
@@ -338,4 +369,4 @@ def substep(
         F=m33.to_mat_array(F_new),
     )
     ext_f = jnp.stack(wrenches)
-    return new_state, ext_f
+    return new_state, ext_f, {"window_overflow": overflow}

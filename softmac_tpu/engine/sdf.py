@@ -79,17 +79,40 @@ def sample_normal_local(prim: SDFParams, p):
 
 
 def sample_sdf_normal_local(prim: SDFParams, p):
-    """Fused trilinear sample of (sdf, normal) via 8 row-gathers from the
-    interleaved (R, 4) table — 4x fewer gather ops than separate channels."""
-    in_box, cells = _stencil(prim, p)
+    """Fused trilinear sample of (sdf, normal) with ONE row gather per point:
+    prim.neighborhood packs each base cell's full 2x2x2 x 4-channel stencil
+    into a 32-wide row, so the only random access is a single (N,)-indexed
+    gather — per-index cost dominates gathers on TPU."""
+    res = prim.res
+    in_box = ((p[0] >= prim.lower[0]) & (p[0] < prim.upper[0])
+              & (p[1] >= prim.lower[1]) & (p[1] < prim.upper[1])
+              & (p[2] >= prim.lower[2]) & (p[2] < prim.upper[2]))
+
+    base, fx = [], []
+    for d in range(3):
+        pos = (p[d] - prim.lower[d]) * prim.inv_dx
+        b = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res[d] - 2)
+        base.append(b)
+        fx.append(jnp.clip(pos - b.astype(pos.dtype), 0.0, 1.0))
+
+    rows = prim.neighborhood[
+        (base[0] * res[1] + base[1]) * res[2] + base[2]]   # (..., 32)
+
     sdf = 0.0
     nx = ny = nz = 0.0
-    for idx, w in cells:
-        row = prim.combined[idx]      # (..., 4)
-        sdf = sdf + w * row[..., 0]
-        nx = nx + w * row[..., 1]
-        ny = ny + w * row[..., 2]
-        nz = nz + w * row[..., 3]
+    c = 0
+    for i in (0, 1):
+        wi = fx[0] if i else (1.0 - fx[0])
+        for j in (0, 1):
+            wj = fx[1] if j else (1.0 - fx[1])
+            for k in (0, 1):
+                wk = fx[2] if k else (1.0 - fx[2])
+                w = wi * wj * wk
+                sdf = sdf + w * rows[..., 4 * c + 0]
+                nx = nx + w * rows[..., 4 * c + 1]
+                ny = ny + w * rows[..., 4 * c + 2]
+                nz = nz + w * rows[..., 4 * c + 3]
+                c += 1
     norm = jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-14)
     n = (nx / norm, ny / norm, nz / norm)
     zero = jnp.zeros_like(norm)
@@ -323,10 +346,22 @@ def sdf_params_from_bake(bake: dict, dtype=jnp.float32) -> SDFParams:
     sdf_flat = np.asarray(bake["sdf"], np.float64).reshape(-1)
     n_flat = np.asarray(bake["normal"], np.float64).reshape(-1, 3)
     combined = np.concatenate([sdf_flat[:, None], n_flat], axis=1)
+
+    # per-base-cell 2x2x2 neighborhood rows (see sample_sdf_normal_local)
+    comb3 = combined.reshape(res + (4,))
+    neigh = np.zeros(res + (32,))
+    c = 0
+    for i in (0, 1):
+        for j in (0, 1):
+            for k in (0, 1):
+                neigh[:res[0] - 1, :res[1] - 1, :res[2] - 1, 4 * c:4 * c + 4] = \
+                    comb3[i:res[0] - 1 + i, j:res[1] - 1 + j, k:res[2] - 1 + k]
+                c += 1
     return SDFParams(
         table=jnp.asarray(sdf_flat, dtype),
         normals=jnp.asarray(n_flat.T, dtype),
         combined=jnp.asarray(combined, dtype),
+        neighborhood=jnp.asarray(neigh.reshape(-1, 32), dtype),
         lower=jnp.asarray(bake["position"][0], dtype),
         upper=jnp.asarray(bake["position"][1], dtype),
         inv_dx=jnp.asarray(1.0 / bake["dx"][0], dtype),

@@ -69,6 +69,10 @@ class SDFParams:
     table: jnp.ndarray    # (rx*ry*rz,)
     normals: jnp.ndarray  # (3, rx*ry*rz)
     combined: jnp.ndarray  # (rx*ry*rz, 4): [sdf, nx, ny, nz] row-gather layout
+    # full 2x2x2 trilinear neighborhood per base cell, one row per cell:
+    # (rx*ry*rz, 32) = 8 corners x [sdf, nx, ny, nz]. Makes an SDF+normal
+    # query a SINGLE row gather (per-index gather cost dominates on TPU).
+    neighborhood: jnp.ndarray
     lower: jnp.ndarray    # (3,)
     upper: jnp.ndarray    # (3,)
     inv_dx: jnp.ndarray   # scalar
@@ -102,6 +106,12 @@ class MPMConfig:
     n_primitives: int = 0
     n_controllers: int = 0
     plastic_mode: str = "clip"   # "clip" (reference runtime) | "von_mises"
+    # Optional static-size active grid window (wx, wy, wz) in cells. The
+    # window's corner tracks the particles each substep; all transfer
+    # operators work in window space (the TPU analogue of a sparse grid).
+    # None = full grid (always exact). A too-small window sets the
+    # `window_overflow` flag in the substep aux output.
+    active_window: Any = None
     primitives_contact: Tuple[bool, ...] = ()
     enable_external_force: Tuple[bool, ...] = ()
     rigid_velocity_control: bool = False

@@ -57,7 +57,7 @@ def test_substep_matches_oracle(model, ptype):
 
     xo, vo, Co, Fo = unpack(state)
     for it in range(30):
-        state, _ = mpm.substep(cfg, params, (), state, bodies, 0)
+        state, _, _ = mpm.substep(cfg, params, (), state, bodies, 0)
         xo, vo, Co, Fo = oracle_substep(
             xo, vo, Co, Fo, dt=cfg.dt, n_grid=cfg.n_grid, mu=mu, lam=lam,
             gravity=(0.0, -9.8, 0.0), material_model=model, ptype=ptype,
@@ -97,7 +97,7 @@ def test_momentum_conservation_no_gravity_interior():
     rng = np.random.RandomState(3)
     state = state.replace(v=jnp.asarray(0.1 * rng.randn(3, cfg.n_particles)))
     bodies = BodyState.identity(0, jnp.float64)
-    new_state, _ = mpm.substep(cfg, params, (), state, bodies, 0)
+    new_state, _, _ = mpm.substep(cfg, params, (), state, bodies, 0)
     p0 = np.sum(np.asarray(state.v), axis=1) * cfg.p_mass
     p1 = np.sum(np.asarray(new_state.v), axis=1) * cfg.p_mass
     # exact up to the reference's grid-mass cutoff (cells with m <= 1e-10 are
@@ -159,7 +159,7 @@ def test_substep_gradient_finite():
     def loss(v0):
         s = state.replace(v=v0)
         for _ in range(5):
-            s, _ = mpm.substep(cfg, params, (), s, bodies, 0)
+            s, _, _ = mpm.substep(cfg, params, (), s, bodies, 0)
         return jnp.sum(s.x**2)
 
     g = jax.grad(loss)(state.v)
@@ -173,3 +173,25 @@ def test_substep_gradient_finite():
         vm = v0.copy(); vm[i, j] -= eps
         fd = (loss(jnp.asarray(vp)) - loss(jnp.asarray(vm))) / (2 * eps)
         np.testing.assert_allclose(np.asarray(g)[i, j], fd, rtol=1e-4, atol=1e-10)
+
+
+def test_active_window_matches_full_grid():
+    """A sufficiently large active window must reproduce the full-grid sim."""
+    import dataclasses
+    cfg, params, state, _ = make_scene(n=64, seed=9)
+    bodies = BodyState.identity(0, jnp.float64)
+    cfg_w = dataclasses.replace(cfg, active_window=(16, 16, 16))
+
+    s_full, s_win = state, state
+    for _ in range(20):
+        s_full, _, _ = mpm.substep(cfg, params, (), s_full, bodies, 0)
+        s_win, _, aux = mpm.substep(cfg_w, params, (), s_win, bodies, 0)
+        assert not bool(aux["window_overflow"])
+    np.testing.assert_allclose(s_win.x, s_full.x, atol=1e-12)
+    np.testing.assert_allclose(s_win.v, s_full.v, atol=1e-12)
+    np.testing.assert_allclose(s_win.F, s_full.F, atol=1e-12)
+
+    # too-small window must raise the overflow flag
+    cfg_bad = dataclasses.replace(cfg, active_window=(4, 4, 4))
+    _, _, aux = mpm.substep(cfg_bad, params, (), state, bodies, 0)
+    assert bool(aux["window_overflow"])
