@@ -1,0 +1,104 @@
+"""Pour demo (force-controlled rigid glass, Jade replaced by the JAX-native
+rigid step). Parity with reference ``softmac/demo_pour.py``: optimize a
+wrench trajectory (torque+force on the glass) so the liquid lands in the
+bowl; action init is gravity/contact-compensated (adjust_action_with_ext_force).
+"""
+import sys
+from argparse import ArgumentParser
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from softmac_tpu import SoftMacEnv
+from softmac_tpu.utils import (
+    Controller, EpochTimer, make_gif_from_numpy, plot_loss_curve, prepare, render,
+)
+
+np.set_printoptions(precision=4)
+
+
+def get_init_actions(args, env, choice=0, adjust=False):
+    actions = np.zeros((args.steps, 12))
+    if choice == 1:
+        actions[:500, 3:6] = [-0.0, 0.9, 0.0]
+        actions[500:1000, 3:6] = [0.0, -0.9, 0.0]
+        actions[500:1500, :3] = [0.0, 0.0, 0.05]
+        actions[1500:2500, :3] = [0.0, 0.0, -0.05]
+    if adjust:
+        actions = env.adjust_action_with_ext_force(actions)
+    return actions
+
+
+def main(args):
+    log_dir, cfg = prepare(args)
+
+    env = SoftMacEnv(cfg)
+    env.rigid_model.set_transform_action(True)  # world-frame actions
+
+    actions0 = get_init_actions(args, env, choice=0, adjust=True)
+    n_act = args.steps // 20
+    # two optimizers with different lrs, as in the reference (torque 0.3x)
+    torque_ctl = Controller(n_act, 3, args.steps, lr=1e-2 * 0.3, warmup=5,
+                            decay=0.98, betas=(0.0, 0.999),
+                            actions_init=actions0[:, :3])
+    force_ctl = Controller(n_act, 3, args.steps, lr=1e-2, warmup=5,
+                           decay=0.98, betas=(0.0, 0.999),
+                           actions_init=actions0[:, 3:6])
+
+    loss_log = []
+    print("Optimizing Trajectory...")
+    for epoch in range(args.epochs):
+        timer = EpochTimer()
+        timer.start("prepare"); env.reset(); timer.stop()
+
+        timer.start("forward")
+        acts = np.zeros((args.steps, 12))
+        acts[:, :3] = torque_ctl.get_actions()
+        acts[:, 3:6] = force_ctl.get_actions()
+        total_frames = args.steps * env.substeps
+        start = (2 * total_frames // 3) // 20 * 20   # 2000 @ reference scale
+        out = env.rollout_and_grad(acts, loss_start_frame=start, loss_stride=20)
+        loss = float(out["loss"])
+        timer.stop()
+        timer.times["loss"] = timer.times["backward"] = 0.0
+
+        timer.start("optimize")
+        g = np.asarray(out["action_grad"])
+        torque_ctl.step(g[:, :3])
+        force_ctl.step(g[:, 3:6])
+        timer.stop()
+
+        terms = {k: float(v) for k, v in out["terms"].items()}
+        timer.report(epoch, force_ctl.latest_lr,
+                     "Loss: {:.4f} chamfer: {:.4f} pose: {:.4f} vel: {:.4f}".format(
+                         loss, terms.get("chamfer_loss", 0),
+                         terms.get("pose_loss", 0), terms.get("vel_loss", 0)))
+        print("Final chamfer: {:.4f} pose: {:.4f} vel: {:.4f}".format(
+            terms.get("final_chamfer_loss", 0), terms.get("final_pose_loss", 0),
+            terms.get("final_vel_loss", 0)))
+        rigid = np.asarray(out["carry"][2].q)
+        print("Rigid e: {} x: {}".format(rigid[:3], rigid[3:6]))
+        loss_log.append(loss)
+        np.save(log_dir / "ckpt" / f"actions_{epoch}.npy", acts)
+
+        if (epoch + 1) % args.render_interval == 0 or epoch == 0:
+            images = render(env, action=acts, n_steps=args.steps,
+                            interval=args.steps // 50)
+            make_gif_from_numpy(images, log_dir, f"epoch{epoch}")
+
+    plot_loss_curve(log_dir, loss_log)
+
+
+if __name__ == "__main__":
+    parser = ArgumentParser()
+    parser.add_argument("--exp-name", "-n", type=str, default="pour")
+    parser.add_argument("--config", type=str,
+                        default=str(Path(__file__).resolve().parents[1]
+                                    / "softmac_tpu/config/demo_pour_config.py"))
+    parser.add_argument("--render-interval", type=int, default=5)
+    parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--steps", type=int, default=3000)
+    args = parser.parse_args()
+    main(args)

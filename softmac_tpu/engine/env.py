@@ -142,7 +142,8 @@ class SoftMacEnv:
                     self.n_primitives, cfg.RIGID, substeps, cfg.env_dt, self.dtype)
             else:
                 self.rigid_model = RigidModel(
-                    self.urdf_models, cfg.RIGID, cfg.env_dt, self.dtype)
+                    self.urdf_models, cfg.RIGID, cfg.env_dt, self.dtype,
+                    ext_force_flags=prim_ext_force)
                 assert self.rigid_model.n_primitives == self.n_primitives
         self.ext_grad_scale = float(cfg.RIGID.get("ext_grad_scale", 1.0))
 
@@ -263,17 +264,27 @@ class SoftMacEnv:
         else:
             bodies = bodies_c
 
-        return (mpm, bodies, rigid), overflow
+        return (mpm, bodies, rigid), (overflow, ext_f)
 
     # ==================================================================
     # imperative facade (reference API parity)
     # ==================================================================
+    def set_primitives_contact(self, flags):
+        """Enable/disable contact per primitive (the reference's
+        ``simulator.primitives_contact``, used by demo_grip.py:117)."""
+        import dataclasses
+        self.mpm_cfg = dataclasses.replace(
+            self.mpm_cfg, primitives_contact=tuple(bool(f) for f in flags))
+        self._jit_cache.clear()
+        self._step_jit = jax.jit(self._env_step_fn)
+
     def step(self, action=None):
         if action is None:
             action = np.zeros((max(self.action_dim, 1),))
         action = jnp.asarray(np.asarray(action, np.float64), self.dtype)
         self.action_list.append(np.asarray(action))
-        self._carry, _ = self._step_jit(self._carry, action)
+        self._carry, (_, ext_f) = self._step_jit(self._carry, action)
+        self.last_ext_f = ext_f
         self.cur += self.substeps
         if self.keep_history:
             self._history.append(self._snapshot())
@@ -309,6 +320,41 @@ class SoftMacEnv:
                                     loss_stride=loss_stride)
         return np.asarray(out["action_grad"])
 
+    def adjust_action_with_ext_force(self, actions):
+        """Compensate an action trajectory for gravity + measured contact
+        wrench so the free bodies hold their intended motion (reference
+        ``softmac/utils.py:76-119``). Force-control free joints only."""
+        assert self.control_mode == "rigid" and self.rigid_model is not None
+        model = self.rigid_model
+        g = jnp.asarray(model.gravity, self.dtype)
+        cfg = self.mpm_cfg
+
+        def env_step(carry, action):
+            mpm, bodies, rigid = carry
+            bodies_c = grad_scale(bodies, self.ext_grad_scale)
+
+            def sub(c, k):
+                mpm_s, extf, aux = mpm_mod.substep(
+                    cfg, self.mpm_params, self.prims, c, bodies_c, k, None)
+                return mpm_s, extf
+
+            mpm, extf = jax.lax.scan(sub, mpm, jnp.arange(cfg.substeps))
+            ext_f = jnp.sum(extf, axis=0) / cfg.substeps
+
+            adj = action.astype(self.dtype)
+            for i, b in enumerate(model.bodies):
+                if b.jtype == "floating" and b.gravity_on:
+                    o = b.q_offset
+                    adj = adj.at[o:o + 3].add(-ext_f[i, 3:])
+                    adj = adj.at[o + 3:o + 6].add(-(ext_f[i, :3] + b.mass * g))
+            rigid = model.step(rigid, adj, ext_f)
+            bodies = model.body_states(rigid)
+            return (mpm, bodies, rigid), adj
+
+        fn = jax.jit(lambda c0, a: jax.lax.scan(env_step, c0, a)[1])
+        adjusted = fn(self._initial_carry(), jnp.asarray(actions, self.dtype))
+        return np.asarray(adjusted)
+
     # ==================================================================
     # functional rollout (the fast path used by demos / bench)
     # ==================================================================
@@ -332,7 +378,7 @@ class SoftMacEnv:
         env_step = jax.checkpoint(self._env_step_fn)
 
         def block_fn(carry, action_block):
-            carry, ovf = jax.lax.scan(env_step, carry, action_block)
+            carry, (ovf, _) = jax.lax.scan(env_step, carry, action_block)
             mpm, bodies, _ = carry
             return carry, (FrameSample(x=mpm.x_nd, bodies=bodies), jnp.any(ovf))
 

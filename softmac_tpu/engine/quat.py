@@ -58,12 +58,16 @@ exp2quat = w2quat
 
 
 def quat2w(q: jnp.ndarray) -> jnp.ndarray:
-    """Quaternion to rotation vector (log map), safe near identity."""
+    """Quaternion to rotation vector (log map).
+
+    The epsilon inside the sqrt keeps both the value and the GRADIENT smooth
+    at the identity (scale -> 2 naturally as sin_half -> sqrt(eps); a
+    where-based guard would leak NaN through the untaken branch)."""
     q = qnormalize(q)
-    sin_half = jnp.sqrt(jnp.sum(q[..., 1:] * q[..., 1:], axis=-1, keepdims=True))
+    sin_half = jnp.sqrt(
+        jnp.sum(q[..., 1:] * q[..., 1:], axis=-1, keepdims=True) + 1e-24)
     half = jnp.arctan2(sin_half, q[..., :1])
-    scale = jnp.where(sin_half > 1e-8, 2.0 * half / jnp.maximum(sin_half, 1e-30), 2.0)
-    return q[..., 1:] * scale
+    return q[..., 1:] * (2.0 * half / sin_half)
 
 
 quat2exp = quat2w

@@ -83,7 +83,7 @@ class RigidModel:
     """
 
     def __init__(self, urdf_models: Sequence[UrdfModel], cfg, env_dt: float,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, ext_force_flags: Optional[Sequence[bool]] = None):
         self.dt = float(env_dt)
         self.dtype = dtype
         self.gravity = np.asarray(cfg.gravity, np.float64)
@@ -96,7 +96,7 @@ class RigidModel:
         self.bodies: List[_BodyDef] = []
         self.skeleton_ndof: List[int] = []
         offset = 0
-        per_prim_flags = list(getattr(cfg, "enable_external_force", [])) or None
+        per_prim_flags = list(ext_force_flags) if ext_force_flags else None
 
         for skel_id, model in enumerate(urdf_models):
             links = {l.name: l for l in model.links}
@@ -145,6 +145,7 @@ class RigidModel:
         self.state_dim = 2 * offset
         self.action_dim = offset
         self.n_primitives = len(self.bodies)
+        self.transform_action = False  # API parity; actions are world-frame
 
         # initial state
         if len(cfg.init_state) > 0:
@@ -156,6 +157,14 @@ class RigidModel:
         else:
             self._q0 = np.zeros(self.state_dim_half)
             self._qd0 = np.zeros(self.state_dim_half)
+
+    def set_transform_action(self, flag: bool = False):
+        """API parity with the reference (rigid_simulator.py:237-244): Jade
+        free-joint actions are body-frame, and the reference optionally
+        rotates world actions into the body frame. This engine applies
+        free-joint actions in the world frame natively, so the world-frame
+        behavior (flag=True in the reference) is always in effect."""
+        self.transform_action = flag
 
     # ------------------------------------------------------------------
     def init_state(self) -> RigidState:
