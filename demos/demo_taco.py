@@ -1,0 +1,137 @@
+"""Taco demo (parity with reference ``soft_cloth/demo_taco.py``): optimize
+cloth attachment-point trajectories (delta-parameterized with cumsum
+clamping against over-stretch) so the tortilla wraps the plasticine."""
+import sys
+from argparse import ArgumentParser
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from softmac_tpu import SoftMacEnv
+from softmac_tpu.utils import (
+    EpochTimer, make_gif_from_numpy, plot_loss_curve, prepare, render,
+)
+
+np.set_printoptions(precision=4)
+
+
+class DeltaController:
+    """Delta-action controller with the reference's cumsum clamping
+    (demo_taco.py:16-77): optimizes per-step deltas, clamps deltas to
+    +-0.01 and the cumulative handle displacement to the reachable arc."""
+
+    def __init__(self, steps, actions_init, mpm_scale, lr=5e-4, warmup=5,
+                 decay=0.95, betas=(0.9, 0.999)):
+        import optax
+        self.steps = steps
+        self.actions_init = np.asarray(actions_init, np.float64)
+        self.dim = self.actions_init.shape[1]
+        self.delta = np.zeros((steps, self.dim))
+        self.delta[1:] = self.actions_init[1:] - self.actions_init[:-1]
+        self.r_max = 0.3 * mpm_scale
+        self.lr, self.warmup, self.decay = lr, warmup, decay
+        self.epoch = 0
+        self.latest_lr = lr
+        self._optax = optax
+        self.opt = optax.adam(lr, b1=betas[0], b2=betas[1])
+        self.opt_state = self.opt.init(self.delta)
+
+    def get_actions(self):
+        return self.actions_init[0][None] + np.cumsum(self.delta, axis=0)
+
+    def step(self, grad):
+        self.latest_lr = (self.lr * (self.epoch + 1) / self.warmup
+                          if self.epoch < self.warmup
+                          else self.lr * self.decay ** (self.epoch - self.warmup))
+        g = np.asarray(grad, np.float64).copy()
+        g[:, 6:] = 0.0
+        g[:, 2] = 0.0
+        g[:, 5] = 0.0
+        updates, self.opt_state = self.opt.update(g, self.opt_state, self.delta)
+        self.delta = np.asarray(self._optax.apply_updates(self.delta, updates))
+
+        # clamp (demo_taco.py:62-73)
+        self.delta = np.clip(self.delta, -0.01, 0.01)
+        self.delta[0] = 0.0
+        cs = np.cumsum(self.delta, axis=0)
+        r = self.r_max
+        cs[:, 1] = np.clip(cs[:, 1], -r, r)
+        cs[:, 4] = np.clip(cs[:, 4], -r, r)
+        cs[:, 0] = np.minimum(cs[:, 0], np.sqrt(np.maximum(r**2 - cs[:, 1]**2, 0)) - r)
+        cs[:, 3] = np.maximum(cs[:, 3], r - np.sqrt(np.maximum(r**2 - cs[:, 4]**2, 0)))
+        self.delta[1:] = cs[1:] - cs[:-1]
+        self.epoch += 1
+
+
+def get_init_actions(args, env, choice=0):
+    a0 = env.cloth_model.attachment_rest_positions()
+    actions = np.tile(a0, (args.steps, 1))
+    if choice == 1:
+        # scripted fold used to generate the target (demo_taco.py:84-96)
+        k = 4
+        r = 0.3 / (np.pi / 2 + k - 1) * env.mpm_scale
+        for i in range(args.steps):
+            actions[i:, 1] += k * r / args.steps
+            actions[i:, 4] += k * r / args.steps
+            actions[i:, 0] -= (k - 2 + np.pi / 2) * r / args.steps
+            actions[i:, 3] += (k - 2 + np.pi / 2) * r / args.steps
+    return actions
+
+
+def main(args):
+    log_dir, cfg = prepare(args)
+
+    env = SoftMacEnv(cfg)
+    env.set_control_mode("cloth")
+
+    controller = DeltaController(
+        steps=args.steps, actions_init=get_init_actions(args, env, choice=0),
+        mpm_scale=env.mpm_scale, lr=5e-4, warmup=5, decay=0.95)
+
+    loss_log = []
+    print("Optimizing Trajectory...")
+    for epoch in range(args.epochs):
+        timer = EpochTimer()
+        timer.start("prepare"); env.reset(); timer.stop()
+
+        timer.start("forward")
+        acts = controller.get_actions()
+        total_frames = args.steps * env.substeps
+        start = (9 * total_frames // 10) // 10 * 10   # 1800 @ reference scale
+        out = env.rollout_and_grad(acts, loss_start_frame=start, loss_stride=10)
+        loss = float(out["loss"])
+        timer.stop()
+        timer.times["loss"] = timer.times["backward"] = 0.0
+
+        timer.start("optimize")
+        controller.step(np.asarray(out["action_grad"]))
+        timer.stop()
+
+        terms = {k: float(v) for k, v in out["terms"].items()}
+        timer.report(epoch, controller.latest_lr,
+                     "Loss: {:.4f} chamfer: {:.4f}".format(
+                         loss, terms.get("chamfer_loss", 0)))
+        loss_log.append(loss)
+        np.save(log_dir / "ckpt" / f"actions_{epoch}.npy", acts)
+
+        if (epoch + 1) % args.render_interval == 0 or epoch == 0:
+            images = render(env, action=acts, n_steps=args.steps,
+                            interval=max(args.steps // 50, 1))
+            make_gif_from_numpy(images, log_dir, f"epoch{epoch}")
+
+    plot_loss_curve(log_dir, loss_log)
+
+
+if __name__ == "__main__":
+    parser = ArgumentParser()
+    parser.add_argument("--exp-name", "-n", type=str, default="taco")
+    parser.add_argument("--config", type=str,
+                        default=str(Path(__file__).resolve().parents[1]
+                                    / "softmac_tpu/config/demo_taco_config.py"))
+    parser.add_argument("--render-interval", type=int, default=5)
+    parser.add_argument("--epochs", type=int, default=25)
+    parser.add_argument("--steps", type=int, default=200)
+    args = parser.parse_args()
+    main(args)

@@ -1,0 +1,360 @@
+"""Cloth <-> MPM contact: triangle-mesh queries, the forecast contact model,
+and the penetration-tracing integer state machine.
+
+Parity sources: ``soft_cloth/engine/primitive/primitive_cloth.py`` (point-
+triangle distance :121-140, penetration-signed sdf_and_normal :143-164,
+collide_particle :199-231, collide_mixed :234-280 with sticky mode),
+``soft_cloth/engine/primitive/process_faces.py`` (BFS face adjacency), and
+``soft_cloth/engine/mpm_simulator.py:444-561`` (contact-pair search +
+penetration tracing, all @grad_replaced no-ops — here integer/stop-gradient
+carries).
+
+All per-particle quantities are (N,)-shaped struct-of-arrays; the contact
+pair search is a dense (N, F) computation (F is a few hundred faces).
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from softmac_tpu.ops import m33
+
+BIG = 1e10
+
+
+# ======================================================================
+# host: BFS face adjacency with orientation flips (process_faces.py)
+# ======================================================================
+def process_faces(faces: np.ndarray, n_neighbors: int = 200):
+    """Per-face neighbor table (F, n_neighbors) + orientation-flip flags.
+
+    BFS over shared edges; a neighbor reached through an edge traversed in
+    the same winding direction has inverted orientation (int8 flag)."""
+    edge_dict = {}
+    F = faces.shape[0]
+    for i in range(F):
+        for j in range(3):
+            v1, v2 = faces[i, j], faces[i, (j + 1) % 3]
+            edge_dict.setdefault((min(v1, v2), max(v1, v2)), []).append(i)
+
+    neighbors = np.full((F, n_neighbors), -1, np.int32)
+    direction = np.zeros((F, n_neighbors), np.int8)
+    for i in range(F):
+        found = []
+        visited = np.zeros(F, bool)
+        q = deque([(i, False)])
+        while q and len(found) <= n_neighbors:
+            cur, inv = q.popleft()
+            if visited[cur]:
+                continue
+            visited[cur] = True
+            found.append((cur, inv))
+            for j in range(3):
+                v1, v2 = faces[cur, j], faces[cur, (j + 1) % 3]
+                for f in edge_dict[(min(v1, v2), max(v1, v2))]:
+                    if f == cur or visited[f]:
+                        continue
+                    inv_new = inv
+                    for k in range(3):
+                        if faces[f, k] == v1 and faces[f, (k + 1) % 3] == v2:
+                            inv_new = not inv
+                            break
+                    q.append((f, inv_new))
+        found = found[1:]  # drop self
+        for slot, (f, inv) in enumerate(found[:n_neighbors]):
+            neighbors[i, slot] = f
+            direction[i, slot] = int(inv)
+    return neighbors, direction
+
+
+@struct.dataclass
+class ClothContactParams:
+    """Static cloth-contact data (faces + adjacency) and coefficients."""
+    faces: jnp.ndarray              # (F, 3) int32
+    neighbor_faces: jnp.ndarray     # (F, K) int32, -1 padded
+    neighbor_dirs: jnp.ndarray      # (F, K) int8
+    friction: jnp.ndarray           # scalar
+    softness: jnp.ndarray           # scalar
+    cloth_force_scale: jnp.ndarray  # scalar
+    mpm_force_scale: jnp.ndarray    # scalar
+    sticky: bool = struct.field(pytree_node=False, default=False)
+    mpm_scale: float = struct.field(pytree_node=False, default=1.0)
+
+
+@struct.dataclass
+class PenetrationState:
+    """Integer side-state carried with stop_gradient through the rollout."""
+    contact_id: jnp.ndarray    # (N,) int32, -1 = no contact
+    penetration: jnp.ndarray   # (N,) int8
+
+
+def _face_corners(params: ClothContactParams, cloth_x, face_id):
+    """Gather the 3 corner positions of face_id (N,) from cloth_x (V, 3).
+    Returns three vec tuples of (N,)."""
+    fid = jnp.clip(face_id, 0, params.faces.shape[0] - 1)
+    vid = params.faces[fid]           # (N, 3)
+    out = []
+    for c in range(3):
+        row = cloth_x[vid[:, c]]      # (N, 3)
+        out.append((row[:, 0], row[:, 1], row[:, 2]))
+    return out[0], out[1], out[2]
+
+
+# ======================================================================
+# geometry (vectorized ports of primitive_cloth.py:84-196)
+# ======================================================================
+def _closest_point_on_edge(p, x0, x1):
+    v = m33.vsub(x1, x0)
+    w = m33.vsub(p, x0)
+    c1 = m33.dot(w, v)
+    c2 = m33.dot(v, v)
+    t = jnp.clip(c1 / jnp.maximum(c2, 1e-30), 0.0, 1.0)
+    # reference picks endpoints outside [0,1]; clip is equivalent
+    return m33.vadd(x0, m33.vscale(v, t))
+
+
+def _barycentric(p, x0, x1, x2):
+    """Barycentric coords of p (assumed in-plane), primitive_cloth.py:99-113."""
+    A = m33.vsub(x1, x0)
+    B = m33.vsub(x2, x0)
+    Cc = m33.vsub(p, x0)
+    den_xy = A[0] * B[1] - A[1] * B[0]
+    den_xz = A[0] * B[2] - A[2] * B[0]
+    use_xz = jnp.abs(den_xy) < 1e-10
+    den1 = jnp.where(use_xz, den_xz, den_xy)
+    den1 = jnp.where(jnp.abs(den1) < 1e-30, 1e-30, den1)
+    w1 = jnp.where(use_xz,
+                   (Cc[0] * B[2] - Cc[2] * B[0]),
+                   (Cc[0] * B[1] - Cc[1] * B[0])) / den1
+    den2_xy = B[0] * A[1] - B[1] * A[0]
+    den2_xz = B[0] * A[2] - B[2] * A[0]
+    den2 = jnp.where(use_xz, den2_xz, den2_xy)
+    den2 = jnp.where(jnp.abs(den2) < 1e-30, 1e-30, den2)
+    w2 = jnp.where(use_xz,
+                   (Cc[0] * A[2] - Cc[2] * A[0]),
+                   (Cc[0] * A[1] - Cc[1] * A[0])) / den2
+    return w1, w2, 1.0 - w1 - w2
+
+
+def _point_triangle(p, x0, x1, x2):
+    """(unsigned distance, plane-signed distance, normal, in_triangle).
+
+    Matches distance_function/sdf_and_normal: plane distance when the
+    projection lies inside the triangle, else nearest-edge distance with the
+    point-to-edge direction as normal."""
+    n = m33.vsub(x1, x0)
+    n = m33.cross(m33.vsub(x1, x0), m33.vsub(x2, x0))
+    n = m33.vscale(n, 1.0 / jnp.sqrt(m33.dot(n, n) + 1e-14))
+    d_plane = m33.dot(n, m33.vsub(p, x0))
+    contact = m33.vsub(p, m33.vscale(n, d_plane))
+    w1, w2, w3 = _barycentric(contact, x0, x1, x2)
+    inside = (w1 >= 0) & (w2 >= 0) & (w3 >= 0)
+
+    best_d = jnp.full_like(d_plane, 1e6)
+    best_pt = (jnp.zeros_like(d_plane),) * 3
+    for (a, b) in ((x0, x1), (x1, x2), (x2, x0)):
+        pt = _closest_point_on_edge(p, a, b)
+        dd = jnp.sqrt(m33.dot(m33.vsub(p, pt), m33.vsub(p, pt)) + 1e-14)
+        take = dd < best_d
+        best_pt = m33.vwhere(take, pt, best_pt)
+        best_d = jnp.where(take, dd, best_d)
+
+    n_edge = m33.vsub(p, best_pt)
+    n_edge = m33.vscale(n_edge, 1.0 / jnp.sqrt(m33.dot(n_edge, n_edge) + 1e-14))
+
+    dist_unsigned = jnp.where(inside, jnp.abs(d_plane), best_d)
+    d_signed = jnp.where(inside, d_plane, best_d)
+    normal = m33.vwhere(inside, n, n_edge)
+    return dist_unsigned, d_signed, normal, inside
+
+
+def sdf_and_normal(params, cloth_x, p, penetrated, face_id):
+    """Penetration-signed distance + normal (primitive_cloth.py:143-164):
+    d < 0 iff the penetration flag is set; normal flipped to match."""
+    x0, x1, x2 = _face_corners(params, cloth_x, face_id)
+    _, d, n, _ = _point_triangle(p, x0, x1, x2)
+    pen = penetrated != 0
+    flip = (~pen) == (d < 0)   # (penetrated == 0) == (d < 0) -> negate
+    d = jnp.where(flip, -d, d)
+    n = m33.vwhere(flip, m33.vscale(n, -1.0), n)
+    return d, n
+
+
+# ======================================================================
+# contact pair search (mpm_simulator.py:448-461)
+# ======================================================================
+def get_contact_pair(params: ClothContactParams, cloth_x, x, penetrated_prev):
+    """Nearest candidate face per particle; -1 when none within the bbox
+    threshold (and not already penetrated). Dense (N, F)."""
+    threshold = 1e-2 * params.mpm_scale
+    tri = cloth_x[params.faces]                       # (F, 3, 3)
+    tmin = jnp.min(tri, axis=1) - threshold           # (F, 3)
+    tmax = jnp.max(tri, axis=1) + threshold
+
+    px = jnp.stack(x, axis=1)                         # (N, 3)
+    in_bbox = jnp.all(
+        (px[:, None, :] > tmin[None]) & (px[:, None, :] < tmax[None]), axis=-1)
+
+    # unsigned distance to every face: vectorize corners over F
+    a = (tri[:, 0, 0][None, :], tri[:, 0, 1][None, :], tri[:, 0, 2][None, :])
+    b = (tri[:, 1, 0][None, :], tri[:, 1, 1][None, :], tri[:, 1, 2][None, :])
+    c = (tri[:, 2, 0][None, :], tri[:, 2, 1][None, :], tri[:, 2, 2][None, :])
+    pN = (x[0][:, None], x[1][:, None], x[2][:, None])
+    dist, _, _, _ = _point_triangle(pN, a, b, c)      # (N, F)
+
+    candidate = in_bbox | (penetrated_prev != 0)[:, None]
+    masked = jnp.where(candidate, dist, BIG)
+    best = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    has = jnp.min(masked, axis=1) < BIG
+    return jnp.where(has, best, -1)
+
+
+def check_side(params, cloth_x, p, face_id):
+    """Which side of the (unnormalized) face plane (primitive_cloth:190-196)."""
+    x0, x1, x2 = _face_corners(params, cloth_x, face_id)
+    n = m33.cross(m33.vsub(x1, x0), m33.vsub(x2, x0))
+    return m33.dot(n, m33.vsub(p, x0)) > 0
+
+
+def _neighbor_lookup(params, face_cur, face_prev):
+    """(neighboring?, inverse flag) via the BFS table (mpm_simulator:488-507)."""
+    fid = jnp.clip(face_cur, 0, params.faces.shape[0] - 1)
+    rows = params.neighbor_faces[fid]        # (N, K)
+    dirs = params.neighbor_dirs[fid]         # (N, K)
+    hit = rows == face_prev[:, None]
+    neighboring = jnp.any(hit, axis=1) | (face_cur == face_prev)
+    inverse = jnp.any(hit & (dirs != 0), axis=1) & (face_cur != face_prev)
+    return neighboring, inverse
+
+
+def trace_penetration_after_mpm(params, cloth_x, x_new, x_prev,
+                                pen: PenetrationState, cid_new):
+    """Flip the penetration bit when a particle crossed its (neighboring)
+    contact face during the MPM substep (mpm_simulator.py:485-518)."""
+    valid = (cid_new >= 0) & (pen.contact_id >= 0)
+    neighboring, inverse = _neighbor_lookup(params, cid_new, pen.contact_id)
+    side_cur = check_side(params, cloth_x, x_new, cid_new)
+    side_prev = check_side(params, cloth_x, x_prev, pen.contact_id)
+    crossed = (side_cur == side_prev) == inverse
+    new_pen = jnp.where(
+        valid & neighboring & crossed, 1 - pen.penetration, pen.penetration)
+    new_pen = jnp.where(valid, new_pen, 0).astype(jnp.int8)
+    return PenetrationState(contact_id=cid_new, penetration=new_pen)
+
+
+def trace_penetration_after_cloth(params, cloth_x_new, cloth_x_old, x,
+                                  pen: PenetrationState, cid_new):
+    """Same flip logic after the cloth itself moved (mpm_simulator:521-553):
+    compare the particle's side w.r.t. its new face (new cloth) and its old
+    face (old cloth)."""
+    valid = (cid_new >= 0) & (pen.contact_id >= 0)
+    neighboring, inverse = _neighbor_lookup(params, cid_new, pen.contact_id)
+    side_cur = check_side(params, cloth_x_new, x, cid_new)
+    side_prev = check_side(params, cloth_x_old, x, pen.contact_id)
+    crossed = (side_cur == side_prev) == inverse
+    new_pen = jnp.where(
+        valid & neighboring & crossed, 1 - pen.penetration, pen.penetration)
+    new_pen = jnp.where(valid, new_pen, 0).astype(jnp.int8)
+    return PenetrationState(contact_id=cid_new, penetration=new_pen)
+
+
+# ======================================================================
+# contact response (primitive_cloth.py:199-280)
+# ======================================================================
+def _contact_common(params, cloth_x, cloth_v, x, face_id, penetrated):
+    d, D = sdf_and_normal(params, cloth_x, x, penetrated, face_id)
+    x0, x1, x2 = _face_corners(params, cloth_x, face_id)
+    contact_pt = m33.vsub(x, m33.vscale(D, d))
+    w1, w2, w3 = _barycentric(contact_pt, x0, x1, x2)
+
+    fid = jnp.clip(face_id, 0, params.faces.shape[0] - 1)
+    vid = params.faces[fid]
+    vrows = [cloth_v[vid[:, c]] for c in range(3)]
+    cv = tuple(
+        w1 * vrows[0][:, k] + w2 * vrows[1][:, k] + w3 * vrows[2][:, k]
+        for k in range(3))
+    return d, D, (w1, w2, w3), vid, cv
+
+
+def _splat_vertex_force(n_vertices, vid, weights, force, mask):
+    """Scatter per-particle contact force to the 3 face vertices with
+    barycentric weights (the reference's atomic adds, :276-278)."""
+    out = jnp.zeros((n_vertices, 3), force[0].dtype)
+    f = jnp.stack([jnp.where(mask, c, 0.0) for c in force], axis=1)  # (N,3)
+    for c, w in enumerate(weights):
+        out = out.at[vid[:, c]].add(jnp.where(mask, w, 0.0)[:, None] * f)
+    return out
+
+
+def collide_cloth(params: ClothContactParams, cloth_x, cloth_v, x, p_v,
+                  p_mass, dt, life, pen: PenetrationState, n_vertices,
+                  mode: str = "mixed"):
+    """Cloth contact for particles with an active contact pair.
+
+    mode="mixed": forecast model (collide_mixed, incl. sticky); returns the
+    target velocity v_tgt and vertex forces. mode="particle": penalty model;
+    returns impulse and vertex forces.
+    """
+    active = pen.contact_id >= 0
+    d, D, weights, vid, cv = _contact_common(
+        params, cloth_x, cloth_v, x, pen.contact_id, pen.penetration)
+    threshold = 5e-3 * params.mpm_scale
+
+    if mode == "particle":
+        c = d - threshold
+        mask = active & (c < 0)
+        c = jnp.where(mask, c, 0.0)
+        input_v = m33.vsub(p_v, cv)
+        nc = m33.dot(input_v, D)
+        v_t = m33.vsub(input_v, m33.vscale(D, nc))
+        f1 = m33.vscale(D, -c * 140.0)
+        vt_norm = jnp.sqrt(m33.dot(v_t, v_t) + 1e-8)
+        kf = params.friction * 0.001
+        f2 = m33.vscale(v_t, -jnp.abs(nc) * kf / vt_norm)
+        p_f = m33.vscale(m33.vadd(f1, f2), 0.3 * params.mpm_force_scale)
+        p_f = tuple(jnp.where(mask, f, 0.0) for f in p_f)
+        c_f = m33.vscale(m33.vadd(f1, f2), -0.01)
+        ext = _splat_vertex_force(n_vertices, vid, weights, c_f, mask)
+        return m33.vscale(p_f, dt), ext
+
+    # mixed / forecast model
+    mask = active & (d <= threshold)
+    d_s = jnp.where(mask, d, 0.0)
+    p_v_in = p_v
+    input_v = m33.vsub(p_v, cv)
+    nc = m33.dot(input_v, D)
+
+    influence = jnp.minimum(jnp.exp(-d_s * params.softness), 1.0)
+    if params.sticky:
+        v_stick = cv
+        v_soft = m33.vadd(cv, m33.vscale(input_v, 1.0 - influence))
+        p_v1 = m33.vwhere(d_s > 0, v_soft, v_stick)
+        p_v1 = m33.vwhere(mask, p_v1, p_v)
+    else:
+        v_t = m33.vsub(input_v, m33.vscale(D, jnp.minimum(nc, 0.0)))
+        vt_norm = jnp.sqrt(m33.dot(v_t, v_t) + 1e-8)
+        vt_fric = m33.vscale(
+            v_t, jnp.maximum(0.0, vt_norm + nc * params.friction) / vt_norm)
+        flag = (nc < 0) & (m33.dot(v_t, v_t) > 1e-60)
+        v_t = m33.vwhere(flag, vt_fric, v_t)
+        v_contact = m33.vadd(cv, v_t)
+        v_soft = m33.vadd(cv, m33.vadd(m33.vscale(input_v, 1.0 - influence),
+                                       m33.vscale(v_t, influence)))
+        v_near = m33.vwhere(d_s > 0, v_soft, v_contact)
+        p_v1 = m33.vwhere(mask & (nc < 0), v_near, p_v)
+
+    # penetrated particles: velocity REPLACED by the push-out term (:271-272)
+    pushed = mask & (d < 0)
+    push_v = m33.vscale(D, -(d_s / dt) * life)
+    p_v1 = m33.vwhere(pushed, push_v, p_v1)
+
+    p_v_out = m33.vwhere(mask, p_v1, p_v_in)
+    c_f = m33.vscale(m33.vsub(p_v_in, p_v_out),
+                     p_mass / dt * params.cloth_force_scale)
+    ext = _splat_vertex_force(n_vertices, vid, weights, c_f, mask)
+    return p_v_out, ext

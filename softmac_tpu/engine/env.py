@@ -79,7 +79,9 @@ class SoftMacEnv:
         prim_friction = []
         prim_contact_enabled = []
         prim_ext_force = []
-        for pc in cfg.PRIMITIVES:
+        self.has_cloth = bool(cfg.get("CLOTH") and cfg.CLOTH.get("sceneConfig"))
+        prim_cfgs = cfg.PRIMITIVES if isinstance(cfg.PRIMITIVES, (list, tuple)) else []
+        for pc in prim_cfgs:
             urdf_path = self._resolve(pc.urdf_path)
             model = load_urdf(str(urdf_path))
             self.urdf_models.append(model)
@@ -133,6 +135,48 @@ class SoftMacEnv:
             softness=jnp.full((max(self.n_primitives, 1),), 666.0, self.dtype),
         )
 
+        # ---------------- cloth simulator -----------------------------------
+        self.cloth_model = None
+        self.cloth_params = None
+        if self.has_cloth:
+            from softmac_tpu.engine.cloth import (
+                ClothModel, parse_scene_config, transform_mesh)
+            from softmac_tpu.engine.cloth_contact import (
+                ClothContactParams, process_faces)
+
+            scene = dict(cfg.CLOTH.sceneConfig[0])
+            mesh_name = Path(str(scene["fabric:name"])).name
+            mesh_path = self._resolve(Path("envs/assets") /
+                                      mesh_name.split(".")[0].split("_")[0] / mesh_name)
+            cverts, cfaces = load_obj(mesh_path)
+            if len(cfg.CLOTH.get("transform", [])) > 0:
+                cverts = transform_mesh(cverts, dict(cfg.CLOTH.transform[0]))
+            sp = parse_scene_config(scene)
+            sp["dt"] = cfg.env_dt
+            self.cloth_model = ClothModel(cverts, cfaces, dtype=self.dtype, **sp)
+
+            pcfg = cfg.PRIMITIVES  # cloth scenes: a single contact-param node
+            nb_cache = Path(mesh_path).parent / f"adjacency_{mesh_name}.npz"
+            if nb_cache.exists():
+                data = np.load(nb_cache)
+                nb, nd = data["neighbors"], data["dirs"]
+            else:
+                nb, nd = process_faces(cfaces, n_neighbors=200)
+                np.savez_compressed(nb_cache, neighbors=nb, dirs=nd)
+            self.cloth_params = ClothContactParams(
+                faces=jnp.asarray(cfaces, jnp.int32),
+                neighbor_faces=jnp.asarray(nb, jnp.int32),
+                neighbor_dirs=jnp.asarray(nd, jnp.int8),
+                friction=jnp.asarray(pcfg.friction, self.dtype),
+                softness=jnp.asarray(pcfg.get("softness", 666.0), self.dtype),
+                cloth_force_scale=jnp.asarray(
+                    pcfg.get("cloth_force_scale", 1.0), self.dtype),
+                mpm_force_scale=jnp.asarray(
+                    pcfg.get("mpm_force_scale", 1.0), self.dtype),
+                sticky=bool(pcfg.get("sticky", False)),
+                mpm_scale=float(self.mpm_scale),
+            )
+
         # ---------------- rigid simulator ----------------------------------
         self.rigid_model: Optional[RigidModel] = None
         self.rigid_vel_model: Optional[RigidVelocityModel] = None
@@ -156,6 +200,8 @@ class SoftMacEnv:
         # ---------------- action dims ----------------------------------------
         if self.control_mode == "mpm":
             self.action_dim = self.mpm_cfg.n_controllers * 3
+        elif self.control_mode == "cloth":
+            self.action_dim = 3 * len(self.cloth_model.attachment_idx)
         elif self.rigid_velocity_control:
             self.action_dim = 6 * self.n_primitives
         else:
@@ -203,6 +249,16 @@ class SoftMacEnv:
         else:
             mpm0 = mpm_state_from_packed(self.mpm_cfg, jnp.asarray(x0))
 
+        if self.has_cloth:
+            from softmac_tpu.engine.cloth_contact import (
+                PenetrationState, get_contact_pair)
+            cloth0 = self.cloth_model.init_state()
+            x0v = (mpm0.x[0], mpm0.x[1], mpm0.x[2])
+            pen0 = jnp.zeros((self.n_particles,), jnp.int8)
+            cid0 = get_contact_pair(self.cloth_params, cloth0.x, x0v, pen0)
+            pen_state = PenetrationState(contact_id=cid0, penetration=pen0)
+            return (mpm0, cloth0, pen_state)
+
         if self.rigid_vel_model is not None:
             bodies0 = self.rigid_vel_model.init_bodies()
             rigid0 = RigidState(q=jnp.zeros((0,), self.dtype),
@@ -223,14 +279,21 @@ class SoftMacEnv:
         self._history = [self._snapshot()]
 
     def _snapshot(self):
+        """(x (N,3), bodies | None, cloth_x | None, cloth_v | None)."""
+        if self.has_cloth:
+            mpm, cloth, _ = self._carry
+            return (np.asarray(mpm.x).T, None,
+                    np.asarray(cloth.x), np.asarray(cloth.v))
         mpm, bodies, _ = self._carry
-        return (np.asarray(mpm.x).T, jax.tree.map(np.asarray, bodies))
+        return (np.asarray(mpm.x).T, jax.tree.map(np.asarray, bodies), None, None)
 
     # ==================================================================
     # one env step (used by both the facade and the rollout)
     # ==================================================================
     def _env_step_fn(self, carry, action):
-        """(carry, action) -> (carry, None)."""
+        """(carry, action) -> (carry, (overflow, ext_f))."""
+        if self.has_cloth:
+            return self._env_step_cloth(carry, action)
         mpm, bodies, rigid = carry
         cfg = self.mpm_cfg
 
@@ -266,9 +329,74 @@ class SoftMacEnv:
 
         return (mpm, bodies, rigid), (overflow, ext_f)
 
+    def _env_step_cloth(self, carry, action):
+        """One coupled MPM+cloth window (soft_cloth taichi_env.py:74-96):
+        N substeps with contact-pair/penetration updates against the forecast
+        cloth state, then one cloth PD step consuming the averaged vertex
+        forces, then contact re-resolution against the moved cloth."""
+        from softmac_tpu.engine.cloth_contact import (
+            get_contact_pair, trace_penetration_after_cloth,
+            trace_penetration_after_mpm)
+
+        mpm, cloth, pen = carry
+        cfg = self.mpm_cfg
+
+        mpm_action = None
+        cloth_action = None
+        if self.control_mode == "mpm" and self.action_dim > 0:
+            mpm_action = action.reshape(cfg.n_controllers, 3).astype(self.dtype)
+        elif self.control_mode == "cloth":
+            cloth_action = action
+
+        cloth_c = grad_scale(cloth, self.ext_grad_scale)
+        cloth_xf, cloth_vf = cloth_c.x, cloth_c.v  # forecast for the window
+
+        def sub(c, k):
+            mpm_s, pen_s = c
+            x_prev = (mpm_s.x[0], mpm_s.x[1], mpm_s.x[2])
+            mpm_s, extv, aux = mpm_mod.substep_cloth(
+                cfg, self.mpm_params, self.cloth_params, mpm_s,
+                cloth_xf, cloth_vf, pen_s, k, mpm_action)
+            x_new = (mpm_s.x[0], mpm_s.x[1], mpm_s.x[2])
+            cid = get_contact_pair(self.cloth_params, cloth_xf, x_new,
+                                   pen_s.penetration)
+            pen_s = trace_penetration_after_mpm(
+                self.cloth_params, cloth_xf, x_new, x_prev, pen_s, cid)
+            pen_s = jax.lax.stop_gradient(pen_s)
+            return (mpm_s, pen_s), (extv, aux["window_overflow"])
+
+        (mpm, pen), (extv, ovf) = jax.lax.scan(
+            sub, (mpm, pen), jnp.arange(cfg.substeps))
+        ext_vertex_f = jnp.sum(extv, axis=0) / cfg.substeps
+        overflow = jnp.any(ovf)
+
+        cloth = self.cloth_model.step(cloth, cloth_action, ext_vertex_f)
+
+        # re-resolve contact pairs against the moved cloth (taichi_env:88-90)
+        x_now = (mpm.x[0], mpm.x[1], mpm.x[2])
+        cid2 = get_contact_pair(self.cloth_params, cloth.x, x_now,
+                                pen.penetration)
+        pen = trace_penetration_after_cloth(
+            self.cloth_params, cloth.x, cloth_xf, x_now, pen, cid2)
+        pen = jax.lax.stop_gradient(pen)
+
+        return (mpm, cloth, pen), (overflow, ext_vertex_f)
+
     # ==================================================================
     # imperative facade (reference API parity)
     # ==================================================================
+    def set_control_mode(self, mode):
+        """Switch between 'mpm' / 'cloth' / 'rigid' control (the reference's
+        soft_cloth taichi_env.py:133-135)."""
+        assert mode in ("mpm", "rigid", "cloth")
+        self.control_mode = mode
+        if mode == "mpm":
+            self.action_dim = self.mpm_cfg.n_controllers * 3
+        elif mode == "cloth":
+            self.action_dim = 3 * len(self.cloth_model.attachment_idx)
+        self._jit_cache.clear()
+        self._step_jit = jax.jit(self._env_step_fn)
+
     def set_primitives_contact(self, flags):
         """Enable/disable contact per primitive (the reference's
         ``simulator.primitives_contact``, used by demo_grip.py:117)."""
@@ -297,15 +425,19 @@ class SoftMacEnv:
         return self._history[min(f // self.substeps, len(self._history) - 1)][0]
 
     def get_state_frame(self, f):
-        """(x, bodies) snapshot at frame f (window boundaries only)."""
+        """(x, bodies, cloth_x, cloth_v) snapshot at frame f (window
+        boundaries only)."""
         return self._history[min(f // self.substeps, len(self._history) - 1)]
 
     def compute_loss(self, f=None):
         assert self.loss is not None
         if f is None:
             f = 0 if self._is_copy else self.cur
-        x, bodies = self.get_state_frame(f)
-        sample = FrameSample(x=jnp.asarray(x, self.dtype), bodies=bodies)
+        x, bodies, cx, cv = self.get_state_frame(f)
+        sample = FrameSample(
+            x=jnp.asarray(x, self.dtype), bodies=bodies,
+            cloth_x=None if cx is None else jnp.asarray(cx, self.dtype),
+            cloth_v=None if cv is None else jnp.asarray(cv, self.dtype))
         terms = {k: float(v) for k, v in self.loss.terms(sample).items()}
         terms["loss"] = sum(terms.values())
         return terms
@@ -379,8 +511,14 @@ class SoftMacEnv:
 
         def block_fn(carry, action_block):
             carry, (ovf, _) = jax.lax.scan(env_step, carry, action_block)
-            mpm, bodies, _ = carry
-            return carry, (FrameSample(x=mpm.x_nd, bodies=bodies), jnp.any(ovf))
+            if self.has_cloth:
+                mpm, cloth, _ = carry
+                sample = FrameSample(x=mpm.x_nd, bodies=None,
+                                     cloth_x=cloth.x, cloth_v=cloth.v)
+            else:
+                mpm, bodies, _ = carry
+                sample = FrameSample(x=mpm.x_nd, bodies=bodies)
+            return carry, (sample, jnp.any(ovf))
 
         def rollout(actions, carry0):
             ab = actions.reshape(n_blocks, block, -1)
@@ -395,8 +533,14 @@ class SoftMacEnv:
                     loss_total = loss_total + terms_acc[k]
                     terms_acc[f"final_{k}"] = v[-1]
                 if include_f0:
-                    mpm0, bodies0, _ = carry0
-                    t0 = self.loss.terms(FrameSample(x=mpm0.x_nd, bodies=bodies0))
+                    if self.has_cloth:
+                        mpm0, cloth0, _ = carry0
+                        s0 = FrameSample(x=mpm0.x_nd, bodies=None,
+                                         cloth_x=cloth0.x, cloth_v=cloth0.v)
+                    else:
+                        mpm0, bodies0, _ = carry0
+                        s0 = FrameSample(x=mpm0.x_nd, bodies=bodies0)
+                    t0 = self.loss.terms(s0)
                     for k, v in t0.items():
                         terms_acc[k] = terms_acc[k] + v
                         loss_total = loss_total + v
@@ -439,8 +583,11 @@ class SoftMacEnv:
             self._renderer = PointRenderer(self.cfg_full.RENDERER, self)
         if f is None:
             f = self.cur
-        x, bodies = self.get_state_frame(f)
-        return self._renderer.render(x, self.particle_colors, bodies)
+        x, bodies, cx, cv = self.get_state_frame(f)
+        cloth = None
+        if cx is not None:
+            cloth = (cx, np.asarray(self.cloth_model.faces))
+        return self._renderer.render(x, self.particle_colors, bodies, cloth=cloth)
 
     def initialize(self):
         self.reset()

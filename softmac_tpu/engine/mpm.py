@@ -49,16 +49,22 @@ from softmac_tpu.ops import m33
 OFFSETS = tuple((i, j, k) for i in range(3) for j in range(3) for k in range(3))
 
 
+# Full f32 precision for the transfer matmuls: the default TPU matmul runs
+# in bf16, whose ~0.3% error is velocity noise injected every substep (it
+# visibly destabilizes the cloth solver and degrades gradient quality).
+_PRECISION = lax.Precision.HIGHEST
+
+
 def _dotT(a, b):
     """Contract the last axis of a with the last axis of b: (A, N)x(B, N)->(A, B)."""
     return lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                           preferred_element_type=a.dtype)
+                           precision=_PRECISION, preferred_element_type=a.dtype)
 
 
 def _dot0(a, b):
     """Contract axis 0 of a with axis 0 of b: (K, N)x(K, M)->(N, M)."""
     return lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                           preferred_element_type=a.dtype)
+                           precision=_PRECISION, preferred_element_type=a.dtype)
 
 
 def window_geometry(cfg: MPMConfig, x_vec):
@@ -370,3 +376,92 @@ def substep(
     )
     ext_f = jnp.stack(wrenches)
     return new_state, ext_f, {"window_overflow": overflow}
+
+
+def substep_cloth(
+    cfg: MPMConfig,
+    params: MPMParams,
+    cloth_params,            # ClothContactParams
+    state: MPMState,
+    cloth_x,                 # (V, 3) forecast cloth vertices for this window
+    cloth_v,                 # (V, 3)
+    pen,                     # PenetrationState (stop-gradient integer carry)
+    k,
+    mpm_action=None,
+):
+    """MLS-MPM substep coupled to a triangle-mesh cloth (the soft_cloth
+    variant: ``soft_cloth/engine/mpm_simulator.py`` substep with
+    grid_op_mixed3 calling the cloth's collide, :418-428).
+
+    Returns (new_state, vertex ext forces (V, 3), aux)."""
+    from softmac_tpu.engine import cloth_contact as cc
+
+    dtype = state.x.dtype
+    n_vertices = cloth_x.shape[0]
+
+    x = (state.x[0], state.x[1], state.x[2])
+    v = (state.v[0], state.v[1], state.v[2])
+    C = tuple(tuple(state.C[i, j] for j in range(3)) for i in range(3))
+    F = tuple(tuple(state.F[i, j] for j in range(3)) for i in range(3))
+
+    F_tmp = m33.mmul(m33.madd_diag(m33.mscale(C, cfg.dt), 1.0), F)
+    if needs_svd(cfg):
+        U, sig, V = svd3_soa(F_tmp)
+    else:
+        U = sig = V = None
+    stress, F_new = compute_stress_and_F(
+        cfg, F_tmp, U, sig, V, params.mu, params.lam, params.yield_stress)
+
+    zero = jnp.zeros_like(x[0])
+    impulse = (zero, zero, zero)
+    ext_vertex_f = jnp.zeros((n_vertices, 3), dtype)
+    if cfg.collision_type == CONTACT_PARTICLE:
+        imp, ext = cc.collide_cloth(
+            cloth_params, cloth_x, cloth_v, x, v, cfg.p_mass, cfg.dt, 1.0,
+            pen, n_vertices, mode="particle")
+        impulse = m33.vadd(impulse, imp)
+        ext_vertex_f = ext_vertex_f + ext
+
+    if cfg.n_controllers > 0 and mpm_action is not None:
+        cidx = params.control_idx
+        sel = jnp.clip(cidx, 0, cfg.n_controllers - 1)
+        on = cidx >= 0
+        impulse = tuple(
+            impulse[d] + jnp.where(on, 6e-4 * mpm_action[sel, d] * cfg.dt, 0.0)
+            for d in range(3))
+
+    sizes, corner, overflow = window_geometry(cfg, x)
+    W, WD = axis_weights(cfg, x, sizes, corner)
+    Hyz, HyzDy, HyzDz = hyz_family(cfg, W, WD)
+
+    grid = p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
+
+    coords = grid_coords(cfg, sizes, corner)
+    g_v, mask, grid_m = grid_normalize(cfg, grid, params.gravity)
+
+    if cfg.collision_type == CONTACT_MIXED:
+        grid_v_mixed = boundary_condition(cfg, coords, g_v)
+        v_tmp = gather_dense(cfg, W, Hyz, grid_v_mixed)
+        life = 1.0 / (cfg.substeps - k)
+        v_tgt, ext = cc.collide_cloth(
+            cloth_params, cloth_x, cloth_v, x, v_tmp, cfg.p_mass, cfg.dt,
+            life, pen, n_vertices, mode="mixed")
+        ext_vertex_f = ext_vertex_f + ext
+
+        alpha = 2.0
+        dv = m33.vsub(v_tmp, v_tgt)
+        corr = splat_channels(cfg, W, Hyz, [-alpha * dv[d] for d in range(3)])
+        grid_v_out = tuple(
+            jnp.where(mask, grid_v_mixed[d] + corr[d], 0.0) for d in range(3))
+    else:
+        grid_v_out = boundary_condition(cfg, coords, g_v)
+
+    v_new, C_new, x_new = g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, grid_v_out, x)
+
+    new_state = MPMState(
+        x=jnp.stack(x_new),
+        v=jnp.stack(v_new),
+        C=m33.to_mat_array(C_new),
+        F=m33.to_mat_array(F_new),
+    )
+    return new_state, ext_vertex_f, {"window_overflow": overflow}

@@ -120,11 +120,12 @@ class MPMConfig:
 
     @property
     def dx(self) -> float:
-        return 1.0 / self.n_grid
+        # domain spans [0, mpm_scale]^3 (soft_cloth mpm_simulator.py:31)
+        return self.mpm_scale / self.n_grid
 
     @property
     def inv_dx(self) -> float:
-        return float(self.n_grid)
+        return float(self.n_grid) / self.mpm_scale
 
     @property
     def p_vol(self) -> float:
