@@ -81,6 +81,11 @@ loss.weight = (1.0, 0.0, 0.0)  # pose, velocity, contact
 loss.target_path = ""
 ENV.n_observed_particles = 200
 
+
+# TPU: active grid window (exact; rollouts report window_overflow if exceeded)
+_C.TPU = TPU = CN()
+TPU.active_window = (32, 16, 32)
+
 _C.VARIANTS = list()
 
 

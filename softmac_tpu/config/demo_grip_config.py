@@ -61,6 +61,11 @@ loss = ENV.loss = CN()
 loss.weight = (1.0, 0.0, 0.0)  # chamfer, pose, velocity
 loss.target_path = "envs/grip/grip_mpm_target_position.npy"
 
+
+# TPU: active grid window (exact; rollouts report window_overflow if exceeded)
+_C.TPU = TPU = CN()
+TPU.active_window = (32, 24, 32)
+
 _C.VARIANTS = list()
 
 

@@ -94,6 +94,11 @@ loss.weight = (1.0,)
 loss.target_path = "envs/mpm2towel/towel_target_45.npy"
 ENV.n_observed_particles = 200
 
+
+# TPU: active grid window (exact; rollouts report window_overflow if exceeded)
+_C.TPU = TPU = CN()
+TPU.active_window = (32, 24, 32)
+
 _C.VARIANTS = list()
 
 

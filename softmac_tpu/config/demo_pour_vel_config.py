@@ -86,6 +86,11 @@ loss.weight = (1e-4, 1.0, 1e-4)  # chamfer, pose, velocity
 loss.target_path = "envs/pour/pour_mpm_target_position_corotated.npy"
 ENV.n_observed_particles = 200
 
+
+# TPU: active grid window (exact; rollouts report window_overflow if exceeded)
+_C.TPU = TPU = CN()
+TPU.active_window = (48, 32, 16)
+
 _C.VARIANTS = list()
 
 

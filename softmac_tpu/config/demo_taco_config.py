@@ -78,6 +78,11 @@ loss = ENV.loss = CN()
 loss.weight = (1.0,)
 loss.target_path = "envs/taco/taco_mpm_target.npy"
 
+
+# TPU: active grid window (exact; rollouts report window_overflow if exceeded)
+_C.TPU = TPU = CN()
+TPU.active_window = (48, 24, 48)
+
 _C.VARIANTS = list()
 
 

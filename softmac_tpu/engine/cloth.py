@@ -149,7 +149,7 @@ class ClothModel:
 
         # positions are O(1) while PD displacements are O(1e-4): bf16 matmul
         # noise alone injects ~1e-2 position jitter, so force full precision
-        prec = jax.lax.Precision.HIGHEST
+        prec = jax.lax.Precision.HIGHEST  # cloth positions are O(1): always exact
 
         def iteration(y, _):
             rhs = base_rhs

@@ -34,7 +34,16 @@ def process_faces(faces: np.ndarray, n_neighbors: int = 200):
     """Per-face neighbor table (F, n_neighbors) + orientation-flip flags.
 
     BFS over shared edges; a neighbor reached through an edge traversed in
-    the same winding direction has inverted orientation (int8 flag)."""
+    the same winding direction has inverted orientation (int8 flag).
+    Dispatches to the C++ implementation (softmac_tpu/native) when the
+    toolchain is available; this Python body is the fallback/oracle."""
+    try:
+        from softmac_tpu.native import process_faces_native
+        out = process_faces_native(np.asarray(faces, np.int32), n_neighbors)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     edge_dict = {}
     F = faces.shape[0]
     for i in range(F):

@@ -442,6 +442,36 @@ class SoftMacEnv:
         terms["loss"] = sum(terms.values())
         return terms
 
+    def get_observation(self, f=None):
+        """Flat observation vector: subsampled particle x/v (+ cloth or body
+        state), parity with soft_cloth taichi_env.get_observation (:148-156)."""
+        from softmac_tpu.engine import policy as policy_mod
+        if self.has_cloth:
+            mpm, cloth, _ = self._carry
+            return np.concatenate([
+                np.asarray(policy_mod.mpm_observation(
+                    mpm, self.cfg.get("n_observed_particles", 200))),
+                np.asarray(policy_mod.cloth_observation(cloth))])
+        mpm, bodies, _ = self._carry
+        parts = [np.asarray(policy_mod.mpm_observation(
+            mpm, self.cfg.get("n_observed_particles", 200)))]
+        if bodies.pos.shape[0] > 0:
+            parts.append(np.asarray(policy_mod.body_observation(bodies)))
+        return np.concatenate(parts)
+
+    def get_state(self, f=None):
+        """Packed (N, 24) particle state [x v F C] — the reference's
+        checkpoint layout (mpm_simulator.py:481-492)."""
+        from softmac_tpu.engine.types import mpm_state_to_packed
+        return np.asarray(mpm_state_to_packed(self._carry[0]))
+
+    def set_state(self, packed):
+        """Load a packed (N, 24) particle state into the current carry."""
+        from softmac_tpu.engine.types import mpm_state_from_packed
+        mpm = mpm_state_from_packed(self.mpm_cfg, jnp.asarray(packed))
+        self._carry = (mpm,) + tuple(self._carry[1:])
+        self._history = [self._snapshot()]
+
     def backward(self, loss_start_frame=None, loss_stride=20):
         """Gradient of the sampled-frame loss w.r.t. the recorded actions.
 

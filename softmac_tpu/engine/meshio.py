@@ -26,6 +26,13 @@ def load_obj(path: str | Path) -> Tuple[np.ndarray, np.ndarray]:
 
     Polygons are fan-triangulated; negative indices supported.
     """
+    try:
+        from softmac_tpu.native import load_obj_native
+        out = load_obj_native(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     verts: List[List[float]] = []
     faces: List[List[int]] = []
     with open(path) as f:

@@ -52,7 +52,12 @@ OFFSETS = tuple((i, j, k) for i in range(3) for j in range(3) for k in range(3))
 # Full f32 precision for the transfer matmuls: the default TPU matmul runs
 # in bf16, whose ~0.3% error is velocity noise injected every substep (it
 # visibly destabilizes the cloth solver and degrades gradient quality).
-_PRECISION = lax.Precision.HIGHEST
+import os as _os
+_PRECISION = {
+    "default": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}[_os.environ.get("SOFTMAC_TPU_MATMUL_PRECISION", "highest")]
 
 
 def _dotT(a, b):

@@ -161,7 +161,10 @@ def make_sharded_train_step(mesh: Mesh, cfg, params, target, n_steps: int,
         g = jax.lax.pmean(g, "dp")
         return loss, actions - lr * g
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     state_spec = MPMState(
         x=P("dp", None, "sp"), v=P("dp", None, "sp"),

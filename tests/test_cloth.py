@@ -1,0 +1,143 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from softmac_tpu.engine.cloth import ClothModel, ClothState, parse_scene_config, transform_mesh
+from softmac_tpu.engine.cloth_contact import (
+    ClothContactParams, PenetrationState, get_contact_pair, process_faces,
+    sdf_and_normal, trace_penetration_after_mpm,
+)
+from softmac_tpu.engine.meshgen import generate_grid
+
+
+def make_cloth(k_stretch=500.0, gravity=-9.8, att=(0, 11)):
+    verts, faces = generate_grid(nx=6, nz=6, width=0.5, height=0.5)
+    model = ClothModel(verts, faces, k_stretch=k_stretch, k_bend=0.05,
+                       density=0.2, dt=2e-3, attachment_idx=list(att),
+                       gravity=gravity, dtype=jnp.float64)
+    return model, verts, faces
+
+
+def test_cloth_rest_is_fixed_point():
+    model, verts, faces = make_cloth(gravity=0.0)
+    s = model.init_state()
+    for _ in range(10):
+        s = model.step(s, None, jnp.zeros((model.n_vertices, 3), jnp.float64))
+    np.testing.assert_allclose(np.asarray(s.x), verts, atol=1e-8)
+
+
+def test_cloth_drapes_under_gravity():
+    # horizontal sheet (x-z plane) pinned at two corners: it must drape
+    verts, faces = generate_grid(nx=6, nz=6, width=0.5, height=0.5)
+    verts = verts[:, [0, 2, 1]]  # into the x-z plane
+    model = ClothModel(verts, faces, k_stretch=500.0, k_bend=0.05,
+                       density=0.2, dt=2e-3, attachment_idx=[0, 5],
+                       gravity=-9.8, dtype=jnp.float64)
+    s = model.init_state()
+    for _ in range(300):
+        s = model.step(s, None, jnp.zeros((model.n_vertices, 3), jnp.float64))
+    x = np.asarray(s.x)
+    # attachments held, far edge sagged well below the plane
+    np.testing.assert_allclose(x[0], verts[0], atol=5e-3)
+    np.testing.assert_allclose(x[5], verts[5], atol=5e-3)
+    assert x[30, 1] < verts[30, 1] - 0.05
+    assert np.isfinite(x).all()
+
+
+def test_cloth_attachment_control_moves_cloth():
+    model, verts, faces = make_cloth(gravity=0.0, att=(0,))
+    s = model.init_state()
+    target = verts[[0]] + np.array([[0.1, 0.0, 0.0]])
+    for _ in range(200):
+        s = model.step(s, jnp.asarray(target), jnp.zeros((model.n_vertices, 3), jnp.float64))
+    np.testing.assert_allclose(np.asarray(s.x[0]), target[0], atol=5e-3)
+
+
+def test_cloth_step_differentiable():
+    model, verts, faces = make_cloth(gravity=0.0, att=(0,))
+
+    def loss(t):
+        s = model.init_state()
+        tgt = jnp.asarray(verts[[0]]) + jnp.stack([t, t * 0, t * 0], axis=-1)
+        for _ in range(5):
+            s = model.step(s, tgt, jnp.zeros((model.n_vertices, 3), jnp.float64))
+        return jnp.sum(s.x[:, 0])
+
+    g = jax.grad(loss)(jnp.asarray([0.05]))
+    assert np.isfinite(float(g[0])) and abs(float(g[0])) > 1e-3
+
+
+def contact_params(faces, mpm_scale=1.0, sticky=False):
+    nb, nd = process_faces(np.asarray(faces), 50)
+    return ClothContactParams(
+        faces=jnp.asarray(faces, jnp.int32),
+        neighbor_faces=jnp.asarray(nb), neighbor_dirs=jnp.asarray(nd),
+        friction=jnp.asarray(1.0), softness=jnp.asarray(666.0),
+        cloth_force_scale=jnp.asarray(1.0), mpm_force_scale=jnp.asarray(1.0),
+        sticky=sticky, mpm_scale=mpm_scale)
+
+
+def test_contact_pair_and_signed_distance():
+    verts, faces = generate_grid(nx=4, nz=4, width=0.3, height=0.3)
+    # rotate grid into the x-z plane at y=0 (grid is x-y): swap y/z
+    verts = verts[:, [0, 2, 1]]
+    params = contact_params(faces)
+    cx = jnp.asarray(verts)
+
+    # a particle just above the sheet
+    p = (jnp.asarray([0.15]), jnp.asarray([0.005]), jnp.asarray([0.15]))
+    pen0 = jnp.zeros((1,), jnp.int8)
+    cid = get_contact_pair(params, cx, p, pen0)
+    assert int(cid[0]) >= 0
+
+    d, n = sdf_and_normal(params, cx, p, pen0, cid)
+    np.testing.assert_allclose(float(jnp.abs(d[0])), 0.005, atol=1e-6)
+    assert float(d[0]) > 0  # not penetrated -> positive
+    # penetrated flag flips the sign
+    d2, n2 = sdf_and_normal(params, cx, p, jnp.ones((1,), jnp.int8), cid)
+    assert float(d2[0]) < 0
+
+    # far particle: no contact pair
+    pfar = (jnp.asarray([0.15]), jnp.asarray([0.5]), jnp.asarray([0.15]))
+    cid_far = get_contact_pair(params, cx, pfar, pen0)
+    assert int(cid_far[0]) == -1
+
+
+def test_penetration_tracing_flips_on_crossing():
+    verts, faces = generate_grid(nx=4, nz=4, width=0.3, height=0.3)
+    verts = verts[:, [0, 2, 1]]
+    params = contact_params(faces)
+    cx = jnp.asarray(verts)
+
+    x_prev = (jnp.asarray([0.15]), jnp.asarray([0.004]), jnp.asarray([0.15]))
+    x_new = (jnp.asarray([0.15]), jnp.asarray([-0.004]), jnp.asarray([0.15]))
+    pen0 = jnp.zeros((1,), jnp.int8)
+    cid_prev = get_contact_pair(params, cx, x_prev, pen0)
+    pen = PenetrationState(contact_id=cid_prev, penetration=pen0)
+    cid_new = get_contact_pair(params, cx, x_new, pen0)
+    pen2 = trace_penetration_after_mpm(params, cx, x_new, x_prev, pen, cid_new)
+    assert int(pen2.penetration[0]) == 1  # crossed the sheet
+
+    # staying on the same side: no flip
+    x_same = (jnp.asarray([0.16]), jnp.asarray([0.004]), jnp.asarray([0.15]))
+    cid_same = get_contact_pair(params, cx, x_same, pen0)
+    pen3 = trace_penetration_after_mpm(params, cx, x_same, x_prev, pen, cid_same)
+    assert int(pen3.penetration[0]) == 0
+
+
+def test_scene_config_parsing():
+    scene = {
+        "fabric:k_stiff_stretching": "5000",
+        "fabric:k_stiff_bending": "1.5",
+        "fabric:density": "1.0",
+        "timeStep": "2e-3",
+        "gravity": "0.0",
+        "customAttachmentVertexIdx": "1,2,3",
+    }
+    p = parse_scene_config(scene)
+    assert p["k_stretch"] == 5000 and p["gravity"] == 0.0
+    assert p["attachment_idx"] == [1, 2, 3]
+
+    v = np.array([[1.0, 0, 0]])
+    v2 = transform_mesh(v, {"scale": 2.0, "translation": [1, 1, 1]})
+    np.testing.assert_allclose(v2, [[3.0, 1.0, 1.0]])

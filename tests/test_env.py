@@ -1,0 +1,95 @@
+"""End-to-end environment tests on the real pour_vel scene (CPU, f64).
+
+These exercise the full stack: config loading, URDF/SDF scene build, the
+jitted coupled rollout, loss accumulation, and action gradients (checked
+against central finite differences — the reference's validation gate is
+per-step gradient fidelity, SURVEY §6)."""
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def pour_vel_env():
+    from softmac_tpu import SoftMacEnv, load
+    cfg = load(str(ROOT / "softmac_tpu/config/demo_pour_vel_config.py"))
+    return SoftMacEnv(cfg)
+
+
+def test_env_build(pour_vel_env):
+    env = pour_vel_env
+    assert env.n_particles == 5000
+    assert env.n_primitives == 2
+    assert env.action_dim == 12
+    assert env.dtype == jnp.float64  # CPU x64 build
+
+
+def test_rollout_matches_stepwise(pour_vel_env):
+    """The fused rollout and the imperative facade must agree exactly."""
+    env = pour_vel_env
+    actions = np.zeros((4, 12))
+    actions[:, 2] = 2.0
+
+    out = env.rollout(actions, loss_start_frame=0, loss_stride=4)
+    x_roll = np.asarray(out["carry"][0].x)
+
+    env.reset()
+    for a in actions:
+        env.step(a)
+    x_step = np.asarray(env._carry[0].x)
+    np.testing.assert_allclose(x_step, x_roll, atol=1e-12)
+
+
+def test_action_gradient_matches_fd(pour_vel_env):
+    """jax.grad through the coupled rollout vs central differences."""
+    env = pour_vel_env
+    actions = np.zeros((4, 12))
+    actions[:, 2] = 1.0
+
+    out = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=4)
+    g = np.asarray(out["action_grad"])
+    assert np.isfinite(g).all()
+
+    def loss_at(a):
+        return float(env.rollout(a, loss_start_frame=0, loss_stride=4)["loss"])
+
+    eps = 1e-5
+    checked = 0
+    for (t, d) in [(0, 2), (1, 3), (2, 4), (0, 4)]:
+        ap = actions.copy(); ap[t, d] += eps
+        am = actions.copy(); am[t, d] -= eps
+        fd = (loss_at(ap) - loss_at(am)) / (2 * eps)
+        if abs(fd) > 1e-8:
+            np.testing.assert_allclose(g[t, d], fd, rtol=2e-3, atol=1e-9)
+            checked += 1
+    assert checked >= 2, "finite-difference probes were all zero"
+
+
+def test_observation_and_state_io(pour_vel_env):
+    env = pour_vel_env
+    env.reset()
+    obs = env.get_observation()
+    assert obs.shape == (200 * 6 + 2 * 13,)
+
+    packed = env.get_state()
+    assert packed.shape == (5000, 24)
+    env.step(np.zeros(12))
+    env.set_state(packed)
+    np.testing.assert_allclose(env.get_state(), packed, atol=1e-12)
+
+
+def test_graft_entry_points():
+    import sys
+    sys.path.insert(0, str(ROOT))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+
+    ge.dryrun_multichip(8)
