@@ -169,12 +169,12 @@ def make_sharded_train_step(mesh: Mesh, cfg, params, target, n_steps: int,
     state_spec = MPMState(
         x=P("dp", None, "sp"), v=P("dp", None, "sp"),
         C=P("dp", None, None, "sp"), F=P("dp", None, None, "sp"))
-    sharded = shard_map(
-        train_step, mesh=mesh,
-        in_specs=(P("dp"), state_spec),
-        out_specs=(P(), P("dp")),
-        check_rep=False,
-    )
+    kwargs = dict(mesh=mesh, in_specs=(P("dp"), state_spec),
+                  out_specs=(P(), P("dp")))
+    try:
+        sharded = shard_map(train_step, check_vma=False, **kwargs)
+    except TypeError:
+        sharded = shard_map(train_step, check_rep=False, **kwargs)
     return jax.jit(sharded)
 
 
