@@ -72,6 +72,9 @@ class UrdfJoint:
     origin_xyz: np.ndarray       # (3,)
     origin_rpy: np.ndarray       # (3,)
     axis: np.ndarray             # (3,)
+    limit_lower: float = -np.inf
+    limit_upper: float = np.inf
+    limit_velocity: float = np.inf
 
 
 @dataclasses.dataclass
@@ -141,7 +144,14 @@ def load_urdf(path: str | Path) -> UrdfModel:
 
     joints = []
     for j in root.findall("joint"):
+        lim = j.find("limit")
+        lo = float(lim.attrib.get("lower", -np.inf)) if lim is not None else -np.inf
+        hi = float(lim.attrib.get("upper", np.inf)) if lim is not None else np.inf
+        vmax = float(lim.attrib.get("velocity", np.inf)) if lim is not None else np.inf
+        if vmax == 0:
+            vmax = np.inf
         joints.append(UrdfJoint(
+            limit_lower=lo, limit_upper=hi, limit_velocity=vmax,
             name=j.attrib["name"],
             jtype=j.attrib["type"],
             parent=j.find("parent").attrib["link"],

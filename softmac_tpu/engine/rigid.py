@@ -53,6 +53,9 @@ class _BodyDef:
     gravity_on: bool
     support_points: np.ndarray  # (K,3) body-frame points for floor penalty
     skeleton: int
+    limit_lower: float = -np.inf
+    limit_upper: float = np.inf
+    limit_velocity: float = np.inf
 
 
 @jax.custom_vjp
@@ -132,6 +135,9 @@ class RigidModel:
                     gravity_on=True,
                     support_points=support,
                     skeleton=skel_id,
+                    limit_lower=getattr(j, "limit_lower", -np.inf),
+                    limit_upper=getattr(j, "limit_upper", np.inf),
+                    limit_velocity=getattr(j, "limit_velocity", np.inf),
                 ))
                 ndof_skel += ndof
             offset += ndof_skel
@@ -264,8 +270,9 @@ class RigidModel:
                 I_a = float(b.axis @ b.inertia @ b.axis)
                 qdd = tau / I_a
                 qd_new = qd[o] + dt * qdd
+                qd_new, q_new = self._apply_joint_limits(b, q[o], qd_new)
                 new_qd = new_qd.at[o].set(qd_new)
-                new_q = new_q.at[o].set(q[o] + dt * qd_new)
+                new_q = new_q.at[o].set(q_new)
 
             elif b.jtype == "prismatic":
                 axis_w = jnp.asarray(b.joint_rot @ b.axis, self.dtype)
@@ -274,11 +281,27 @@ class RigidModel:
                     f_axis = f_axis + jnp.dot(axis_w, b.mass * g)
                 qdd = f_axis / b.mass
                 qd_new = qd[o] + dt * qdd
+                qd_new, q_new = self._apply_joint_limits(b, q[o], qd_new)
                 new_qd = new_qd.at[o].set(qd_new)
-                new_q = new_q.at[o].set(q[o] + dt * qd_new)
+                new_q = new_q.at[o].set(q_new)
             # fixed: nothing
 
         return RigidState(q=new_q, qd=new_qd)
+
+    def _apply_joint_limits(self, b: _BodyDef, q_old, qd_new):
+        """URDF joint limits (the reference's Jade/DART enforces the declared
+        <limit> tags, e.g. door.urdf velocity 6.545, position +-3.14):
+        velocity clamp + position clamp with qd zeroed at the stops."""
+        dt = self.dt
+        if np.isfinite(b.limit_velocity):
+            qd_new = jnp.clip(qd_new, -b.limit_velocity, b.limit_velocity)
+        q_new = q_old + dt * qd_new
+        if np.isfinite(b.limit_lower) or np.isfinite(b.limit_upper):
+            q_clamped = jnp.clip(q_new, b.limit_lower, b.limit_upper)
+            at_stop = q_clamped != q_new
+            qd_new = jnp.where(at_stop, 0.0, qd_new)
+            q_new = q_clamped
+        return qd_new, q_new
 
     # ------------------------------------------------------------------
     def _floor_wrench(self, b: _BodyDef, pos, bq, v, w):
