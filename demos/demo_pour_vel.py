@@ -44,7 +44,11 @@ def main(args):
 
         timer.start("forward")
         actions = controller.get_actions()
-        out = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=20)
+        # bptt_window: f32 gradients through >~500 chaotic liquid steps are
+        # sign-noise at 1e11 (f64 is clean); 300-step truncation recovers the
+        # f64 gradient structure (97% sign agreement)
+        out = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=20,
+                                   bptt_window=300)
         loss = float(out["loss"])
         timer.stop()
         timer.times["loss"] = timer.times["backward"] = 0.0

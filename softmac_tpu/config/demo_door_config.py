@@ -60,6 +60,10 @@ RIGID.init_state = (
     0.0,    # hinge velocity
 )
 RIGID.ext_grad_scale = 1.0 / 40.0   # mpm->rigid gradient damping (demo_door.py:116)
+# hinge damping: the 0.011 kg door (I_axis 7.8e-6) otherwise spins to its
+# URDF velocity limit under any sustained contact torque and slams
+# bang-bang, ejecting the particles
+RIGID.joint_damping = 2e-5
 
 Door = CN()
 Door.friction = 0.001

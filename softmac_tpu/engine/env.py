@@ -530,7 +530,8 @@ class SoftMacEnv:
         include_f0 = (start == 0)
         return block, n_blocks, mask.astype(np.float64), include_f0
 
-    def _build_rollout(self, n_steps, loss_start_frame, loss_stride, with_grad):
+    def _build_rollout(self, n_steps, loss_start_frame, loss_stride, with_grad,
+                       bptt_window=None):
         block, n_blocks, mask_np, include_f0 = self._sample_mask(
             n_steps, loss_start_frame, loss_stride)
         assert n_blocks * block == n_steps, (
@@ -550,7 +551,48 @@ class SoftMacEnv:
                 sample = FrameSample(x=mpm.x_nd, bodies=bodies)
             return carry, (sample, jnp.any(ovf))
 
+        # truncated BPTT for long chaotic horizons: gradients flow at most
+        # ~bptt_window env steps back through the carry (segment boundaries
+        # stop_gradient it). The reference needs f64 + hand damping
+        # (ext_grad_scale = 1/40) for the same reason (SURVEY hard part #3).
+        seg_blocks = n_blocks
+        if bptt_window is not None:
+            seg_blocks = max(int(bptt_window) // block, 1)
+            while n_blocks % seg_blocks != 0:
+                seg_blocks -= 1
+        n_segments = n_blocks // seg_blocks
+
+        def segment_fn(carry, action_seg):
+            carry, ys = jax.lax.scan(block_fn, carry, action_seg)
+            return jax.lax.stop_gradient(carry), ys
+
         def rollout(actions, carry0):
+            if n_segments > 1:
+                ab = actions.reshape(n_segments, seg_blocks, block, -1)
+                carry, (samples, ovf) = jax.lax.scan(segment_fn, carry0, ab)
+                samples = jax.tree.map(
+                    lambda s: s.reshape((n_blocks,) + s.shape[2:]), samples)
+                ovf = ovf.reshape(-1)
+                loss_total = jnp.zeros((), self.dtype)
+                terms_acc = {"window_overflow": jnp.any(ovf)}
+                if self.loss is not None:
+                    per_block = jax.lax.map(self.loss.terms, samples)
+                    for k, v in per_block.items():
+                        terms_acc[k] = jnp.sum(v * mask)
+                        loss_total = loss_total + terms_acc[k]
+                        terms_acc[f"final_{k}"] = v[-1]
+                    if include_f0:
+                        if self.has_cloth:
+                            mpm0, cloth0, _ = carry0
+                            s0 = FrameSample(x=mpm0.x_nd, bodies=None,
+                                             cloth_x=cloth0.x, cloth_v=cloth0.v)
+                        else:
+                            mpm0, bodies0, _ = carry0
+                            s0 = FrameSample(x=mpm0.x_nd, bodies=bodies0)
+                        for k, v in self.loss.terms(s0).items():
+                            terms_acc[k] = terms_acc[k] + v
+                            loss_total = loss_total + v
+                return loss_total, (terms_acc, carry)
             ab = actions.reshape(n_blocks, block, -1)
             carry, (samples, ovf) = jax.lax.scan(block_fn, carry0, ab)
 
@@ -587,21 +629,26 @@ class SoftMacEnv:
 
         return jax.jit(rollout_grad)
 
-    def _get_rollout(self, n_steps, loss_start_frame, loss_stride, with_grad):
-        key = (n_steps, loss_start_frame, loss_stride, with_grad)
+    def _get_rollout(self, n_steps, loss_start_frame, loss_stride, with_grad,
+                     bptt_window=None):
+        key = (n_steps, loss_start_frame, loss_stride, with_grad, bptt_window)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_rollout(*key)
         return self._jit_cache[key]
 
-    def rollout(self, actions, loss_start_frame=None, loss_stride=20):
+    def rollout(self, actions, loss_start_frame=None, loss_stride=20,
+                bptt_window=None):
         actions = jnp.asarray(actions, self.dtype)
-        fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride, False)
+        fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride,
+                               False, bptt_window)
         loss, (terms, carry) = fn(actions, self._initial_carry())
         return {"loss": loss, "terms": terms, "carry": carry}
 
-    def rollout_and_grad(self, actions, loss_start_frame=None, loss_stride=20):
+    def rollout_and_grad(self, actions, loss_start_frame=None, loss_stride=20,
+                         bptt_window=None):
         actions = jnp.asarray(actions, self.dtype)
-        fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride, True)
+        fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride,
+                               True, bptt_window)
         return fn(actions, self._initial_carry())
 
     # ==================================================================

@@ -95,6 +95,10 @@ class RigidModel:
         self.floor_stiffness = float(cfg.get("floor_stiffness", 1e4))
         self.floor_damping = float(cfg.get("floor_damping", 10.0))
         self.ext_grad_scale = float(cfg.get("ext_grad_scale", 1.0))
+        # viscous joint damping for 1-DoF joints (URDF <dynamics damping>;
+        # DART applies it when declared). Without it a gram-scale hinge like
+        # the door spins to its velocity limit and slams bang-bang.
+        self.joint_damping = float(cfg.get("joint_damping", 0.0))
 
         self.bodies: List[_BodyDef] = []
         self.skeleton_ndof: List[int] = []
@@ -268,6 +272,7 @@ class RigidModel:
                     com_w = Q.qrot(bq, jnp.zeros(3, self.dtype))  # com at origin
                     tau = tau + jnp.dot(axis_w, jnp.cross(com_w, b.mass * g))
                 I_a = float(b.axis @ b.inertia @ b.axis)
+                tau = tau - self.joint_damping * qd[o]
                 qdd = tau / I_a
                 qd_new = qd[o] + dt * qdd
                 qd_new, q_new = self._apply_joint_limits(b, q[o], qd_new)
@@ -279,6 +284,7 @@ class RigidModel:
                 f_axis = action[o] + jnp.dot(axis_w, f_ext)
                 if b.gravity_on:
                     f_axis = f_axis + jnp.dot(axis_w, b.mass * g)
+                f_axis = f_axis - self.joint_damping * qd[o]
                 qdd = f_axis / b.mass
                 qd_new = qd[o] + dt * qdd
                 qd_new, q_new = self._apply_joint_limits(b, q[o], qd_new)
