@@ -80,6 +80,7 @@ CLOTH.transform = [{
     "translation": [0, 0.0, -0.1],
     "rotation": {"direction": [0, 0, 1], "angle": 0},
 }]
+CLOTH.velocity_damping = 0.05
 
 _C.RENDERER = RENDERER = CN()
 RENDERER.mode = "rgb_array"

@@ -56,10 +56,15 @@ class ClothModel:
                  k_stretch: float, k_bend: float, density: float, dt: float,
                  attachment_idx: Sequence[int], gravity: float = -9.8,
                  n_iterations: int = 20, attachment_stiffness: float = 1e5,
-                 dtype=jnp.float32):
+                 velocity_damping: float = 0.02, dtype=jnp.float32):
         self.dtype = dtype
         self.dt = float(dt)
         self.n_iterations = int(n_iterations)
+        # per-step velocity damping: the reference's DiffCloth solves implicit
+        # Euler, which is numerically dissipative; an undamped PD cloth keeps
+        # flapping at m/s speeds and (in the hit scene) sweeps through the
+        # particle block after the impact, cascading penetration flags
+        self.velocity_damping = float(velocity_damping)
         self.n_vertices = V = verts.shape[0]
         self.faces = np.asarray(faces, np.int32)
         self.rest_verts = np.asarray(verts, np.float64)
@@ -161,7 +166,7 @@ class ClothModel:
             return y, None
 
         y, _ = jax.lax.scan(iteration, x_pred, None, length=self.n_iterations)
-        v_new = (y - x) / dt
+        v_new = (1.0 - self.velocity_damping) * (y - x) / dt
         return ClothState(x=y, v=v_new)
 
 

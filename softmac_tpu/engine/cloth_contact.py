@@ -93,6 +93,12 @@ class ClothContactParams:
     mpm_force_scale: jnp.ndarray    # scalar
     sticky: bool = struct.field(pytree_node=False, default=False)
     mpm_scale: float = struct.field(pytree_node=False, default=1.0)
+    # cap on the penetration push-out speed (m/s). The raw reference formula
+    # -(d/dt)*life implies up to |d|/dt ~ 50 m/s for deep crossings at
+    # dt=2e-4; one mislabeled particle then blasts its grid neighborhood
+    # through the cloth and the penetration flags cascade (hit scene dies at
+    # step ~90). Bounded push-out recovers penetrations without the blow-up.
+    push_velocity_cap: float = struct.field(pytree_node=False, default=5.0)
 
 
 @struct.dataclass
@@ -313,6 +319,13 @@ def collide_cloth(params: ClothContactParams, cloth_x, cloth_v, x, p_v,
     d, D, weights, vid, cv = _contact_common(
         params, cloth_x, cloth_v, x, pen.contact_id, pen.penetration)
     threshold = 5e-3 * params.mpm_scale
+    # trust radius: a penetration flag only engages the rescue while the
+    # particle is within a few thresholds of the cloth. A mislabeled flag on
+    # a distant particle otherwise drives it INTO the cloth indefinitely,
+    # cascading flags through the grid (hit scene dies at step ~90 without
+    # this). Genuinely deep crossings are abandoned instead of amplified.
+    mistrust = (pen.penetration != 0) & (jnp.abs(d) > 3.0 * threshold)
+    active = active & ~mistrust
 
     if mode == "particle":
         c = d - threshold
@@ -357,9 +370,11 @@ def collide_cloth(params: ClothContactParams, cloth_x, cloth_v, x, p_v,
         v_near = m33.vwhere(d_s > 0, v_soft, v_contact)
         p_v1 = m33.vwhere(mask & (nc < 0), v_near, p_v)
 
-    # penetrated particles: velocity REPLACED by the push-out term (:271-272)
+    # penetrated particles: velocity REPLACED by the push-out term (:271-272),
+    # with the speed capped (see push_velocity_cap)
     pushed = mask & (d < 0)
-    push_v = m33.vscale(D, -(d_s / dt) * life)
+    mag = jnp.clip(-(d_s / dt) * life, 0.0, params.push_velocity_cap)
+    push_v = m33.vscale(D, mag)
     p_v1 = m33.vwhere(pushed, push_v, p_v1)
 
     p_v_out = m33.vwhere(mask, p_v1, p_v_in)

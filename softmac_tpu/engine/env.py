@@ -153,6 +153,7 @@ class SoftMacEnv:
                 cverts = transform_mesh(cverts, dict(cfg.CLOTH.transform[0]))
             sp = parse_scene_config(scene)
             sp["dt"] = cfg.env_dt
+            sp["velocity_damping"] = float(cfg.CLOTH.get("velocity_damping", 0.02))
             self.cloth_model = ClothModel(cverts, cfaces, dtype=self.dtype, **sp)
 
             pcfg = cfg.PRIMITIVES  # cloth scenes: a single contact-param node
@@ -175,6 +176,7 @@ class SoftMacEnv:
                     pcfg.get("mpm_force_scale", 1.0), self.dtype),
                 sticky=bool(pcfg.get("sticky", False)),
                 mpm_scale=float(self.mpm_scale),
+                push_velocity_cap=float(pcfg.get("push_velocity_cap", 5.0)),
             )
 
         # ---------------- rigid simulator ----------------------------------
