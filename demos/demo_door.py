@@ -46,7 +46,11 @@ def main(args):
         acts = controller.get_actions()
         total_frames = args.steps * env.substeps
         start = (2 * total_frames // 3) // 20 * 20   # 2000 @ reference scale
-        out = env.rollout_and_grad(acts, loss_start_frame=start, loss_stride=20)
+        # truncated BPTT: f32 gradients through ~2000-step horizons of the
+        # soft elastic boxes overflow to NaN (same chaos-amplification as
+        # pour_vel; the reference damps the same path with ext_grad_scale)
+        out = env.rollout_and_grad(acts, loss_start_frame=start, loss_stride=20,
+                                   bptt_window=300)
         loss = float(out["loss"])
         timer.stop()
         timer.times["loss"] = timer.times["backward"] = 0.0
