@@ -76,9 +76,10 @@ def make_closed_loop_rollout(env, policy: MLPPolicy, n_steps: int,
         return jnp.concatenate(parts)
 
     env_step = jax.checkpoint(env._env_step_fn)
+    carry0 = env._initial_carry()  # host-built; close over it (not traceable)
 
     def loss_fn(params):
-        carry = env._initial_carry()
+        carry = carry0
 
         def step(c, _):
             action = policy.apply(params, obs_fn(c))
@@ -98,7 +99,6 @@ def make_closed_loop_rollout(env, policy: MLPPolicy, n_steps: int,
 
     def init_params(rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        carry = env._initial_carry()
-        return policy.init(rng, obs_fn(carry))
+        return policy.init(rng, obs_fn(carry0))
 
     return jax.jit(loss_fn), init_params
