@@ -28,6 +28,10 @@ def main(args):
     log_dir, cfg = prepare(args)
 
     env = SoftMacEnv(cfg)
+    try:
+        env.set_render_target(np.load("envs/grip/grip_mpm_target_position.npy"))
+    except FileNotFoundError:
+        pass
     env.set_primitives_contact([False, True, True])  # palm contact off
 
     actions0 = get_init_actions(args, choice=2)

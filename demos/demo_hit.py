@@ -39,6 +39,7 @@ def main(args):
     log_dir, cfg = prepare(args)
 
     env = SoftMacEnv(cfg)
+    env.set_render_target(np.load(ROOT / "envs/mpm2towel/towel_target_45.npy"))
     control_idx = np.full(env.n_particles, -1, np.int32)
     control_idx[:4000] = 0   # the two cylinders are controlled
     env.set_control_idx(control_idx)

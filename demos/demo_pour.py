@@ -35,6 +35,10 @@ def main(args):
     log_dir, cfg = prepare(args)
 
     env = SoftMacEnv(cfg)
+    try:
+        env.set_render_target(np.load("envs/pour/pour_mpm_target_position_corotated.npy"))
+    except FileNotFoundError:
+        pass
     env.rigid_model.set_transform_action(True)  # world-frame actions
 
     actions0 = get_init_actions(args, env, choice=0, adjust=True)

@@ -26,6 +26,10 @@ def main(args):
     log_dir, cfg = prepare(args)
 
     env = SoftMacEnv(cfg)
+    try:
+        env.set_render_target(np.load("envs/pour/pour_mpm_target_position_corotated.npy"))
+    except FileNotFoundError:
+        pass
 
     # action layout per primitive: [w(3), v(3)]; scale mirrors reference
     # demo_pour_vel.py:23-25 (glass wz, vx, vy only)

@@ -84,6 +84,10 @@ def main(args):
     log_dir, cfg = prepare(args)
 
     env = SoftMacEnv(cfg)
+    try:
+        env.set_render_target(np.load("envs/taco/taco_mpm_target.npy"))
+    except FileNotFoundError:
+        pass
     env.set_control_mode("cloth")
 
     controller = DeltaController(

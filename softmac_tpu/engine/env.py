@@ -656,6 +656,13 @@ class SoftMacEnv:
     # ==================================================================
     # rendering
     # ==================================================================
+    def set_render_target(self, points):
+        """Show target geometry in renders (reference renderer set_target)."""
+        from softmac_tpu.engine.renderer import PointRenderer
+        if self._renderer is None:
+            self._renderer = PointRenderer(self.cfg_full.RENDERER, self)
+        self._renderer.set_target(points)
+
     def render(self, f=None):
         from softmac_tpu.engine.renderer import PointRenderer
         if self._renderer is None:

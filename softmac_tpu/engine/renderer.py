@@ -44,6 +44,11 @@ class PointRenderer:
         # rest-frame primitive meshes (world = R p_local + pos per frame)
         self.prim_meshes = getattr(env, "prim_meshes", [])
         self.prim_colors = getattr(env, "prim_colors", [])
+        self._target = None          # (points (M,3), kind) overlay
+
+    def set_target(self, points, kind="points"):
+        """Overlay target geometry (reference soft_cloth renderer:79-97)."""
+        self._target = (np.asarray(points), kind)
 
     # ------------------------------------------------------------------
     def _project(self, pts):
@@ -167,6 +172,11 @@ class PointRenderer:
             verts, faces = cloth
             self._raster_mesh(img, depth, np.asarray(verts), np.asarray(faces),
                               np.array([0.85, 0.7, 0.3]))
+
+        if self._target is not None:
+            tpts, _ = self._target
+            tcols = np.tile([[0.35, 0.75, 0.35]], (len(tpts), 1))
+            self._splat_points(img, depth, tpts, tcols, size=0)
 
         if particles_x is not None and len(particles_x) > 0:
             cols = particle_colors
