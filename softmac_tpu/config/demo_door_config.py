@@ -63,7 +63,7 @@ RIGID.ext_grad_scale = 1.0 / 40.0   # mpm->rigid gradient damping (demo_door.py:
 # hinge damping: the 0.011 kg door (I_axis 7.8e-6) otherwise spins to its
 # URDF velocity limit under any sustained contact torque and slams
 # bang-bang, ejecting the particles
-RIGID.joint_damping = 2e-5
+RIGID.joint_damping = 1e-4
 
 Door = CN()
 Door.friction = 0.001

@@ -272,9 +272,9 @@ class RigidModel:
                     com_w = Q.qrot(bq, jnp.zeros(3, self.dtype))  # com at origin
                     tau = tau + jnp.dot(axis_w, jnp.cross(com_w, b.mass * g))
                 I_a = float(b.axis @ b.inertia @ b.axis)
-                tau = tau - self.joint_damping * qd[o]
-                qdd = tau / I_a
-                qd_new = qd[o] + dt * qdd
+                # implicit viscous damping (explicit -c*qd is unstable once
+                # dt*c/I > 2, which a gram-scale hinge hits immediately)
+                qd_new = (qd[o] + dt * tau / I_a) / (1.0 + dt * self.joint_damping / I_a)
                 qd_new, q_new = self._apply_joint_limits(b, q[o], qd_new)
                 new_qd = new_qd.at[o].set(qd_new)
                 new_q = new_q.at[o].set(q_new)
@@ -284,9 +284,8 @@ class RigidModel:
                 f_axis = action[o] + jnp.dot(axis_w, f_ext)
                 if b.gravity_on:
                     f_axis = f_axis + jnp.dot(axis_w, b.mass * g)
-                f_axis = f_axis - self.joint_damping * qd[o]
-                qdd = f_axis / b.mass
-                qd_new = qd[o] + dt * qdd
+                qd_new = (qd[o] + dt * f_axis / b.mass) / (
+                    1.0 + dt * self.joint_damping / b.mass)
                 qd_new, q_new = self._apply_joint_limits(b, q[o], qd_new)
                 new_qd = new_qd.at[o].set(qd_new)
                 new_q = new_q.at[o].set(q_new)
