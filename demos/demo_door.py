@@ -46,11 +46,10 @@ def main(args):
         acts = controller.get_actions()
         total_frames = args.steps * env.substeps
         start = (2 * total_frames // 3) // 20 * 20   # 2000 @ reference scale
-        # truncated BPTT: f32 gradients through ~2000-step horizons of the
-        # soft elastic boxes overflow to NaN (same chaos-amplification as
-        # pour_vel; the reference damps the same path with ext_grad_scale)
-        out = env.rollout_and_grad(acts, loss_start_frame=start, loss_stride=20,
-                                   bptt_window=300)
+        # full-horizon gradients: finite with implicit hinge damping; the
+        # useful signal flows from the early pushes to the late pose loss
+        # (truncation would zero it — no contact in the late windows)
+        out = env.rollout_and_grad(acts, loss_start_frame=start, loss_stride=20)
         loss = float(out["loss"])
         timer.stop()
         timer.times["loss"] = timer.times["backward"] = 0.0
