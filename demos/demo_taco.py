@@ -45,7 +45,8 @@ class DeltaController:
         self.latest_lr = (self.lr * (self.epoch + 1) / self.warmup
                           if self.epoch < self.warmup
                           else self.lr * self.decay ** (self.epoch - self.warmup))
-        g = np.asarray(grad, np.float64).copy()
+        from softmac_tpu.utils import sanitize_grad
+        g = sanitize_grad(np.asarray(grad, np.float64)).copy()
         g[:, 6:] = 0.0
         g[:, 2] = 0.0
         g[:, 5] = 0.0

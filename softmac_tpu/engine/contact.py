@@ -55,7 +55,10 @@ def collide_grid(prim: SDFParams, body_pos, body_quat, body_v, body_w,
     """Grid-level contact (CONTACT_GRID). grid_pos/v_out: vec of (G,)."""
     bp, bq, bv, bw = _body_tuples(body_pos, body_quat, body_v, body_w)
     dist, D = sample_sdf_normal_world(prim, bp, bq, grid_pos)
-    influence = jnp.minimum(jnp.exp(-dist * softness), 1.0)
+    # min(exp(-d*s), 1) written AD-safely: for d < 0 the raw exp overflows to
+    # inf and min's VJP then emits 0*inf = NaN; clamping the exponent gives the
+    # identical value (exp(0) = 1) with a finite backward.
+    influence = jnp.exp(-jnp.maximum(dist, 0.0) * softness)
     mask = ((softness > 0) & (influence > 0.1)) | (dist <= 0.0)
 
     v_in = v_out
@@ -143,7 +146,8 @@ def collide_mixed(prim: SDFParams, body_pos, body_quat, body_v, body_w,
     p_v_t = m33.vwhere(flag, vt_fric, p_v_t)
 
     v_contact = m33.vadd(cv, p_v_t)
-    influence = jnp.minimum(jnp.exp(-dist_s * softness), 1.0)
+    # AD-safe min(exp(-d*s), 1): see collide_grid
+    influence = jnp.exp(-jnp.maximum(dist_s, 0.0) * softness)
     v_soft = m33.vadd(cv, m33.vadd(m33.vscale(input_v, 1.0 - influence),
                                    m33.vscale(p_v_t, influence)))
     v_near = m33.vwhere(dist_s > 0, v_soft, v_contact)

@@ -82,6 +82,23 @@ def plot_loss_curve(log_dir, loss_log):
 # ===============================
 # Trajectory controller (optax Adam; replaces torch controllers)
 # ===============================
+def sanitize_grad(g: np.ndarray) -> np.ndarray:
+    """Zero non-finite gradient entries (warn once per call site).
+
+    Long contact-rich rollouts can overflow the backward pass even when the
+    forward stays finite (the reference's Taichi grads share this failure
+    mode); a single NaN epoch must not poison the Adam state and all later
+    actions, so the controller drops those entries instead of applying them.
+    """
+    bad = ~np.isfinite(g)
+    if bad.any():
+        print(f"[controller] WARNING: {bad.sum()}/{g.size} non-finite gradient "
+              "entries zeroed (backward overflow on a long horizon?)")
+        g = np.where(bad, 0.0, g)
+    return g
+
+
+
 class Controller:
     """Action-trajectory optimizer: Adam over (num_actions, dim) with the
     reference's warmup/decay schedule and repeat-expansion to env steps."""
@@ -136,7 +153,7 @@ class Controller:
     def step(self, grad):
         """grad: (steps, dim) gradient w.r.t. expanded actions."""
         self.schedule_lr()
-        g = np.asarray(grad, np.float64) * self.action_scale
+        g = sanitize_grad(np.asarray(grad, np.float64)) * self.action_scale
         g = g.reshape(self.num_actions, -1, self.action_dim).mean(axis=1)
         updates, self.opt_state = self.optimizer.update(g, self.opt_state, self.action)
         self.action = np.asarray(self._optax.apply_updates(self.action, updates))
