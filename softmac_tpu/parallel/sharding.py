@@ -178,13 +178,39 @@ def make_sharded_train_step(mesh: Mesh, cfg, params, target, n_steps: int,
     return jax.jit(sharded)
 
 
+def _provision_devices(n_devices: int):
+    """Return n_devices jax devices, provisioning virtual CPU devices when
+    fewer real chips are attached (the driver validates multi-chip sharding
+    on a single-chip host this way).
+
+    jax_num_cpu_devices must be set BEFORE any backend initializes, so try it
+    first — before the jax.devices() probe. If backends are already up (e.g.
+    pytest's conftest or the caller ran a computation), fall back to whatever
+    device count exists (conftest provisions 8 via XLA_FLAGS).
+    """
+    try:
+        jax.config.update("jax_num_cpu_devices", max(n_devices, 1))
+    except RuntimeError:
+        pass  # backends already initialized; count below decides
+    devices = jax.devices()
+    if len(devices) >= n_devices:
+        return devices[:n_devices]
+    devices = jax.devices("cpu")
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(jax.devices())} and could "
+            f"only provision {len(devices)} virtual CPU devices; set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+            f"JAX_PLATFORMS=cpu before process start")
+    return devices[:n_devices]
+
+
 def dryrun(n_devices: Optional[int] = None, n_steps: int = 2) -> None:
     """Create an n-device mesh, jit the full sharded training step, run one
     update on tiny shapes. Used by __graft_entry__.dryrun_multichip."""
-    devices = jax.devices()
     if n_devices is None:
-        n_devices = len(devices)
-    devices = devices[:n_devices]
+        n_devices = len(jax.devices())
+    devices = _provision_devices(n_devices)
     dp = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
     sp = n_devices // dp
     mesh = Mesh(np.array(devices).reshape(dp, sp), ("dp", "sp"))
