@@ -46,7 +46,8 @@ class _BodyDef:
     q_offset: int               # dof offset into the global q vector (-1 if fixed)
     ndof: int
     mass: float
-    inertia: np.ndarray         # (3,3) body frame
+    inertia: np.ndarray         # (3,3) about the COM, inertial frame
+    com: np.ndarray             # (3,) link-frame COM (URDF <inertial><origin>)
     joint_pos: np.ndarray       # (3,) world joint origin (non-floating)
     joint_rot: np.ndarray       # (3,3) world joint frame (non-floating)
     axis: np.ndarray            # (3,) joint axis in joint frame
@@ -133,6 +134,7 @@ class RigidModel:
                     ndof=ndof,
                     mass=link.mass,
                     inertia=link.inertia,
+                    com=np.asarray(link.inertial_origin, np.float64),
                     joint_pos=jpos,
                     joint_rot=jrot,
                     axis=np.asarray(j.axis, np.float64),
@@ -182,30 +184,44 @@ class RigidModel:
                           qd=jnp.asarray(self._qd0, self.dtype))
 
     def body_states(self, state: RigidState) -> BodyState:
-        """Per-primitive world pose/velocity (what contact + losses consume;
-        the analogue of set_ext_state, rigid_simulator.py:176-201)."""
+        """Per-primitive world pose + BODY-frame COM spatial velocity.
+
+        The analogue of set_ext_state (rigid_simulator.py:176-201): the
+        reference exports DART's ``getCOMSpatialVelocity()``, which is the
+        COM velocity **in body coordinates**; the contact collider then
+        rotates body->world (primitive_base.py:63-70). Exporting world-frame
+        velocities here would double-rotate them inside contact.
+        """
         pos, quat, v, w = [], [], [], []
         for b in self.bodies:
             o = b.q_offset
+            com = jnp.asarray(b.com, self.dtype)
             if b.jtype == "floating":
                 bq = Q.w2quat(state.q[o:o + 3])
                 pos.append(state.q[o + 3:o + 6])
                 quat.append(bq)
-                w.append(state.qd[o:o + 3])
-                v.append(state.qd[o + 3:o + 6])
+                # world (w, v at origin) -> body-frame COM spatial velocity
+                w_b = Q.qrot(Q.qconj(bq), state.qd[o:o + 3])
+                v_b = Q.qrot(Q.qconj(bq), state.qd[o + 3:o + 6])
+                w.append(w_b)
+                v.append(v_b + jnp.cross(w_b, com))
             elif b.jtype == "revolute":
                 axis_w = jnp.asarray(b.joint_rot @ b.axis, self.dtype)
                 bq = Q.w2quat(axis_w * state.q[o])
                 pos.append(jnp.asarray(b.joint_pos, self.dtype))
                 quat.append(bq)
-                w.append(axis_w * state.qd[o])
-                v.append(jnp.zeros(3, self.dtype))
+                # the rotation axis is invariant under its own rotation, so
+                # the body-frame components equal axis_w * qd
+                w_b = axis_w * state.qd[o]
+                w.append(w_b)
+                v.append(jnp.cross(w_b, com))
             elif b.jtype == "prismatic":
                 axis_w = jnp.asarray(b.joint_rot @ b.axis, self.dtype)
                 pos.append(jnp.asarray(b.joint_pos, self.dtype) + axis_w * state.q[o])
                 quat.append(Q.mat2quat(jnp.asarray(b.joint_rot, self.dtype)))
                 w.append(jnp.zeros(3, self.dtype))
-                v.append(axis_w * state.qd[o])
+                # body frame = joint frame: R^T (axis_w qd) = axis qd
+                v.append(jnp.asarray(b.axis, self.dtype) * state.qd[o])
             else:  # fixed
                 pos.append(jnp.asarray(b.joint_pos, self.dtype))
                 quat.append(Q.mat2quat(jnp.asarray(b.joint_rot, self.dtype)))
@@ -237,26 +253,34 @@ class RigidModel:
                 exp, pos = q[o:o + 3], q[o + 3:o + 6]
                 w, v = qd[o:o + 3], qd[o + 3:o + 6]
                 bq = Q.w2quat(exp)
+                R = Q.quat2mat(bq)
+                r_c = R @ jnp.asarray(b.com, self.dtype)  # world COM offset
 
-                # action layout [torque(3), force(3)] per free joint, world frame
-                tau = action[o:o + 3] + t_ext
-                force = action[o + 3:o + 6] + f_ext
-                if b.gravity_on:
-                    force = force + b.mass * g
+                # action layout [torque(3), force(3)] per free joint, world
+                # frame, applied at the body origin (Jade free-joint forces)
+                tau_o = action[o:o + 3] + t_ext           # torque about origin
+                force = action[o + 3:o + 6] + f_ext       # excludes gravity
 
                 if self.enable_floor:
                     f_fl, t_fl = self._floor_wrench(b, pos, bq, v, w)
                     force = force + f_fl
-                    tau = tau + t_fl
+                    tau_o = tau_o + t_fl
 
-                R = Q.quat2mat(bq)
+                # Newton-Euler about the COM: gravity contributes no torque
+                # there, all origin-referenced wrenches shift by -r_c x F.
+                tau_c = tau_o - jnp.cross(r_c, force)
+                if b.gravity_on:
+                    force = force + b.mass * g
+
                 I_w = R @ jnp.asarray(b.inertia, self.dtype) @ R.T
-                w_dot = jnp.linalg.solve(
-                    I_w, tau - jnp.cross(w, I_w @ w))
-                v_new = v + dt * force / b.mass
+                w_dot = jnp.linalg.solve(I_w, tau_c - jnp.cross(w, I_w @ w))
                 w_new = w + dt * w_dot
-                pos_new = pos + dt * v_new
+                v_c = v + jnp.cross(w, r_c)
+                v_c_new = v_c + dt * force / b.mass
                 bq_new = Q.qmul(Q.w2quat(w_new * dt), bq)
+                r_c_new = Q.qrot(bq_new, jnp.asarray(b.com, self.dtype))
+                pos_new = (pos + r_c) + dt * v_c_new - r_c_new
+                v_new = v_c_new - jnp.cross(w_new, r_c_new)
                 exp_new = Q.quat2w(bq_new)
 
                 new_q = new_q.at[o:o + 3].set(exp_new).at[o + 3:o + 6].set(pos_new)
@@ -269,9 +293,14 @@ class RigidModel:
                 tau = action[o] + jnp.dot(axis_w, t_ext)
                 if b.gravity_on:
                     bq = Q.w2quat(axis_w * q[o])
-                    com_w = Q.qrot(bq, jnp.zeros(3, self.dtype))  # com at origin
+                    com_w = Q.qrot(bq, jnp.asarray(b.com, self.dtype))
                     tau = tau + jnp.dot(axis_w, jnp.cross(com_w, b.mass * g))
-                I_a = float(b.axis @ b.inertia @ b.axis)
+                # parallel axis: URDF inertia is about the COM; the joint
+                # axis passes through the body origin at distance
+                # d = |c - (c.a)a| from the COM
+                c, a = b.com, b.axis / np.linalg.norm(b.axis)
+                I_a = float(a @ b.inertia @ a
+                            + b.mass * (c @ c - (c @ a) ** 2))
                 # implicit viscous damping (explicit -c*qd is unstable once
                 # dt*c/I > 2, which a gram-scale hinge hits immediately)
                 qd_new = (qd[o] + dt * tau / I_a) / (1.0 + dt * self.joint_damping / I_a)

@@ -140,3 +140,124 @@ def test_rigid_gradients():
     fd = (final_x(a0.at[3].add(eps)) - final_x(a0.at[3].add(-eps))) / (2 * eps)
     np.testing.assert_allclose(float(g[3]), float(fd), rtol=1e-6)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+# ======================================================================
+# Velocity frame conventions (set_ext_state parity: body_states must export
+# BODY-frame COM spatial velocity, which contact rotates body->world)
+# ======================================================================
+def test_body_states_body_frame_velocity():
+    """A body rotated 90deg about z with world w=(1,0,0): the surface point
+    at world offset r=(0,0,1) moves at w x r = (0,-1,0). collider_velocity
+    rotates body->world, so body_states must hand it body-frame (w, v)."""
+    from softmac_tpu.engine.contact import collider_velocity
+
+    m = glass_model(gravity=(0.0, 0.0, 0.0))
+    s = RigidState(
+        q=jnp.asarray([0.0, 0.0, np.pi / 2, 0.5, 0.5, 0.5], jnp.float64),
+        qd=jnp.asarray([1.0, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float64))
+    b = m.body_states(s)
+    # body frame = world rotated 90deg about z: world x maps to body -y
+    np.testing.assert_allclose(np.asarray(b.w[0]), [0.0, -1.0, 0.0], atol=1e-12)
+
+    bq = tuple(b.quat[0, i] for i in range(4))
+    bv = tuple(b.v[0, i] for i in range(3))
+    bw = tuple(b.w[0, i] for i in range(3))
+    r = (jnp.float64(0.0), jnp.float64(0.0), jnp.float64(1.0))
+    cv = collider_velocity(bq, bv, bw, r)
+    np.testing.assert_allclose([float(c) for c in cv], [0.0, -1.0, 0.0],
+                               atol=1e-12)
+
+
+def _box_urdf(tmp_path, jtype, inertial_xyz, mass=0.1,
+              izz=1e-4, axis="0 0 1"):
+    obj = tmp_path / "box.obj"
+    lo, hi = -0.01, 0.01
+    verts = [(x, y, z) for x in (lo, hi) for y in (lo, hi) for z in (lo, hi)]
+    lines = [f"v {x} {y} {z}" for x, y, z in verts]
+    lines += ["f 1 2 4 3", "f 5 7 8 6", "f 1 5 6 2",
+              "f 3 4 8 7", "f 1 3 7 5", "f 2 6 8 4"]
+    obj.write_text("\n".join(lines) + "\n")
+    urdf = tmp_path / "box.urdf"
+    urdf.write_text(f"""<?xml version="1.0"?>
+<robot name="box">
+  <link name="world"/>
+  <joint name="j" type="{jtype}">
+    <parent link="world"/> <child link="base"/>
+    <origin xyz="0 0 0" rpy="0 0 0"/> <axis xyz="{axis}"/>
+  </joint>
+  <link name="base">
+    <inertial>
+      <origin rpy="0 0 0" xyz="{inertial_xyz}"/>
+      <mass value="{mass}"/>
+      <inertia ixx="{izz}" ixy="0" ixz="0" iyy="{izz}" iyz="0" izz="{izz}"/>
+    </inertial>
+    <collision><geometry><mesh filename="box.obj"/></geometry></collision>
+  </link>
+</robot>
+""")
+    return load_urdf(urdf)
+
+
+def test_pendulum_off_axis_com(tmp_path):
+    """Compound pendulum: revolute about z through the origin, COM at
+    (d,0,0), gravity -y. Small oscillations about the hanging equilibrium
+    theta=-pi/2 follow phi(t) = phi0*cos(w*t), w^2 = m*g*d / (Izz + m*d^2)."""
+    mass, izz, d, g = 0.1, 1e-4, 0.05, 9.8
+    urdf = _box_urdf(tmp_path, "revolute", f"{d} 0 0", mass=mass, izz=izz)
+    dt = 1e-4
+    m = RigidModel([urdf], rigid_cfg(init_state=(0.0, 0.0)), env_dt=dt,
+                   dtype=jnp.float64)
+    I_axis = izz + mass * d * d
+    omega = np.sqrt(mass * g * d / I_axis)
+
+    phi0 = 0.05
+    s = RigidState(q=jnp.asarray([-np.pi / 2 + phi0]),
+                   qd=jnp.asarray([0.0]))
+    zero_ext = jnp.zeros((1, 6), jnp.float64)
+    quarter = int(round((np.pi / 2) / omega / dt))
+    step = jax.jit(lambda s: m.step(s, None, zero_ext))
+    import jax.lax as lax
+    s = lax.fori_loop(0, quarter, lambda i, s: step(s), s)
+    # at a quarter period the pendulum crosses equilibrium
+    phi = float(s.q[0]) + np.pi / 2
+    assert abs(phi) < 0.15 * phi0
+    # and moves at the analytic peak speed phi0*omega
+    np.testing.assert_allclose(abs(float(s.qd[0])), phi0 * omega, rtol=2e-2)
+
+
+def test_floating_com_offset_force_couples_rotation(tmp_path):
+    """A world force applied at the body origin of a floating body with COM
+    offset c exerts torque -r_c x F about the COM -> the body must rotate;
+    gravity alone (acting AT the COM) must not."""
+    mass, izz, d = 0.1, 1e-4, 0.05
+    urdf = _box_urdf(tmp_path, "floating", f"0 {d} 0", mass=mass, izz=izz)
+    dt = 1e-4
+    cfg = rigid_cfg(init_state=(0, 0, 0, 0.5, 0.5, 0.5, 0, 0, 0, 0, 0, 0))
+    m = RigidModel([urdf], cfg, env_dt=dt, dtype=jnp.float64)
+    zero_ext = jnp.zeros((1, 6), jnp.float64)
+
+    # gravity only: COM free-falls, no rotation appears
+    s = m.init_state()
+    for _ in range(100):
+        s = m.step(s, None, zero_ext)
+    np.testing.assert_allclose(np.asarray(s.qd[:3]), 0.0, atol=1e-12)
+    T = 100
+    y_expect = 0.5 - 9.8 * dt * dt * T * (T + 1) / 2
+    np.testing.assert_allclose(float(s.q[4]), y_expect, atol=1e-10)
+
+    # force along +x at the origin, COM at +y above it: torque about COM is
+    # -r_c x F = -(d*ey) x (F*ex) = +d*F*ez -> positive spin about z
+    m2 = RigidModel([urdf], cfg, env_dt=dt, dtype=jnp.float64)
+    m2.gravity = np.zeros(3)
+    action = jnp.zeros((6,), jnp.float64).at[3].set(1.0)
+    s = m2.init_state()
+    s = m2.step(s, action, zero_ext)
+    w_z = float(s.qd[2])
+    np.testing.assert_allclose(w_z, dt * (d * 1.0) / izz, rtol=1e-9)
+    # COM acceleration is F/m regardless of the couple (reconstruct r_c at
+    # the post-step orientation, which the integrator rotated slightly)
+    from softmac_tpu.engine import quat as Q
+    r_c = np.asarray(Q.qrot(Q.w2quat(s.q[:3]), jnp.asarray([0.0, d, 0.0])))
+    vc = np.asarray(s.qd[3:]) + np.cross(np.asarray(s.qd[:3]), r_c)
+    np.testing.assert_allclose(vc, [dt * 1.0 / mass, 0, 0], atol=1e-12)
