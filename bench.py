@@ -1,12 +1,19 @@
 """Benchmark: forward+backward simulation substeps/sec at 1e5 particles
 (the BASELINE.json north-star metric) on the pour scene.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-vs_baseline: the reference publishes no numbers and Taichi is not installed
-here; BASELINE.md adopts an estimated Taichi-CPU fwd+bwd rate of 10
-substeps/s at 1e5 particles on the demo_pour workload (64^3 grid, f64,
-mixed contact) as the comparison point, so vs_baseline = value / 10.
+vs_baseline uses the documented Taichi-CPU estimate of 10 fwd+bwd
+substeps/s at 1e5 particles (BASELINE.md) — the reference publishes no
+numbers and Taichi cannot run here. A REAL measured comparison point is
+included as vs_measured_torch_cpu: scripts/baseline_torch.py measured the
+same pour hot loop in vectorized torch-CPU f64 autograd on this host at
+0.367 fwd / 0.010 fwd+bwd substeps/s (single-core host; see BASELINE.md).
+
+Also reports tpu_oracle_ok: one jitted substep executed on the attached
+accelerator cross-checked against the NumPy f64 oracle at f32 tolerance
+(the only non-CPU correctness execution in the repo — the pytest suite
+forces CPU).
 """
 import json
 import sys
@@ -17,7 +24,65 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-ASSUMED_TAICHI_CPU_BASELINE = 10.0  # fwd+bwd substeps/s at 1e5 particles
+ASSUMED_TAICHI_CPU_BASELINE = 10.0   # fwd+bwd substeps/s at 1e5 (estimate)
+MEASURED_TORCH_CPU_FWDBWD = 0.010    # scripts/baseline_torch.py on this host
+MEASURED_TORCH_CPU_FWD = 0.367
+
+
+def tpu_oracle_check():
+    """Jitted substep on the default (accelerator) backend vs the NumPy f64
+    oracle, 10 substeps, f32 tolerance. Catches layout/precision regressions
+    the CPU-forced pytest suite cannot see."""
+    import jax
+    import jax.numpy as jnp
+    from softmac_tpu.engine import mpm
+    from softmac_tpu.engine.materials import lame_parameters
+    from softmac_tpu.engine.types import (
+        BodyState, MPMConfig, MPMParams, mpm_state_zero,
+        MODEL_COROTATED, MAT_ELASTIC, CONTACT_GRID)
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+    from oracle import oracle_substep
+
+    n = 512
+    cfg = MPMConfig(n_particles=n, n_grid=32, dt=2e-4, substeps=1,
+                    material_model=MODEL_COROTATED, ptype=MAT_ELASTIC,
+                    collision_type=CONTACT_GRID, ground_friction=1.5,
+                    n_primitives=0, n_controllers=0, primitives_contact=(),
+                    enable_external_force=(), dtype=jnp.float32)
+    mu, lam = lame_parameters(5e3, 0.2, MAT_ELASTIC)
+    params = MPMParams(
+        mu=jnp.full((n,), mu, jnp.float32), lam=jnp.full((n,), lam, jnp.float32),
+        yield_stress=jnp.full((n,), 50.0, jnp.float32),
+        gravity=jnp.asarray([0.0, -9.8, 0.0], jnp.float32),
+        control_idx=jnp.full((n,), -1, jnp.int32),
+        friction=jnp.zeros((1,), jnp.float32), softness=jnp.zeros((1,), jnp.float32))
+    rng = np.random.RandomState(0)
+    x0 = 0.4 + 0.2 * rng.rand(n, 3)
+    state = mpm_state_zero(cfg, jnp.asarray(x0, jnp.float32))
+    bodies = BodyState.identity(0, jnp.float32)
+
+    @jax.jit
+    def run(s):
+        def body(s, _):
+            s, _, _ = mpm.substep(cfg, params, (), s, bodies, 0)
+            return s, None
+        s, _ = jax.lax.scan(body, s, None, length=10)
+        return s
+
+    out = jax.block_until_ready(run(state))
+
+    x, v, C, F = x0.copy(), np.zeros((n, 3)), np.zeros((n, 3, 3)), \
+        np.tile(np.eye(3), (n, 1, 1))
+    for _ in range(10):
+        x, v, C, F = oracle_substep(
+            x, v, C, F, dt=2e-4, n_grid=32, mu=mu, lam=lam,
+            gravity=(0.0, -9.8, 0.0), material_model=MODEL_COROTATED,
+            ptype=MAT_ELASTIC, ground_friction=1.5)
+
+    err_x = float(np.abs(np.asarray(out.x).T - x).max())
+    err_v = float(np.abs(np.asarray(out.v).T - v).max())
+    ok = bool(err_x < 1e-5 and err_v < 1e-4)
+    return ok, {"err_x": err_x, "err_v": err_v}
 
 
 def main():
@@ -29,33 +94,16 @@ def main():
     # active-window grid (exact; overflow-checked below) sized for the pour scene
     cfg.defrost(); cfg.TPU.active_window = (40, 32, 16); cfg.freeze()
 
-    # scale the pour scene to 1e5 particles (tile the packed init state with
-    # small jitter; same grid, physics, and contact setup)
-    env = SoftMacEnv(cfg)
+    # scale the pour scene to 1e5 particles: tile the packed init state with
+    # small jitter, fed through the constructor's init_particles path (same
+    # grid, physics, and contact setup)
     base_state = np.load(root / "envs/pour/pour_mpm_init_state_corotated.npy")
     reps = int(np.ceil(1e5 / base_state.shape[0]))
     rng = np.random.RandomState(0)
-    tiled = np.tile(base_state, (reps, 1))[:100_000]
-    tiled[:, :3] += rng.randn(100_000, 3) * 1e-4
-    tiled[:, :3] += np.array([0.0, 0.04, 0.0])
-
-    cfg = cfg.clone().defrost()
-    cfg.SHAPES = []
-    env2 = object.__new__(SoftMacEnv)  # rebuild via normal init but larger N
-    # simplest robust path: construct env normally, then swap the particle set
-    env.init_particles = tiled
-    env.n_particles = tiled.shape[0]
-    import dataclasses
-    import jax.numpy as jnp
-    env.mpm_cfg = dataclasses.replace(env.mpm_cfg, n_particles=tiled.shape[0])
-    n = tiled.shape[0]
-    env.mpm_params = env.mpm_params.replace(
-        mu=jnp.broadcast_to(env.mpm_params.mu[:1], (n,)),
-        lam=jnp.broadcast_to(env.mpm_params.lam[:1], (n,)),
-        yield_stress=jnp.broadcast_to(env.mpm_params.yield_stress[:1], (n,)),
-        control_idx=jnp.full((n,), -1, jnp.int32),
-    )
-    env._jit_cache.clear()
+    tiled = np.tile(base_state[:, :3], (reps, 1))[:100_000]
+    tiled += rng.randn(100_000, 3) * 1e-4
+    tiled += np.array([0.0, 0.04, 0.0])
+    env = SoftMacEnv(cfg, init_particles=tiled)
     env.reset()
 
     steps = 50
@@ -75,12 +123,18 @@ def main():
     rate = steps * substeps / elapsed
 
     assert np.isfinite(float(out["loss"])), "benchmark rollout diverged"
-    assert not bool(out["terms"].get("window_overflow", False)), "active window overflowed"
+    assert not bool(out["terms"].get("window_overflow", False)), \
+        "active window overflowed"
+
+    oracle_ok, oracle_info = tpu_oracle_check()
     print(json.dumps({
         "metric": "fwd+bwd substeps/sec @ 1e5 particles (pour scene, 64^3 grid)",
         "value": round(rate, 2),
         "unit": "substeps/s",
         "vs_baseline": round(rate / ASSUMED_TAICHI_CPU_BASELINE, 2),
+        "vs_measured_torch_cpu": round(rate / MEASURED_TORCH_CPU_FWDBWD, 1),
+        "tpu_oracle_ok": oracle_ok,
+        "tpu_oracle_err": oracle_info,
     }))
 
 

@@ -25,6 +25,15 @@ _C.SIMULATOR.material_model = 0  # corotated
 _C.SIMULATOR.n_controllers = 1
 _C.SIMULATOR.dt = 1e-3
 _C.SIMULATOR.collision_type = 2  # mixed / forecast
+# the door is thin and fast once slamming: the uncapped penetration push
+# (sdf/dt)*life tunnels particles through it and amplifies to ejection
+# (~1e8 positions within 150 steps of the first slam). 1 m/s is far above
+# any physical speed in this scene.
+_C.SIMULATOR.contact_push_velocity_cap = 1.0
+# bound transport to 0.5 grid cells per substep (7.8 m/s here — far above
+# any healthy speed in this scene; elastic spikes during the slam dissipate
+# instead of amplifying to ejection)
+_C.SIMULATOR.cfl_velocity_clamp = 0.5
 
 _C.SHAPES = [
     {
@@ -62,8 +71,10 @@ RIGID.init_state = (
 RIGID.ext_grad_scale = 1.0 / 40.0   # mpm->rigid gradient damping (demo_door.py:116)
 # hinge damping: the 0.011 kg door (I_axis 7.8e-6) otherwise spins to its
 # URDF velocity limit under any sustained contact torque and slams
-# bang-bang, ejecting the particles
-RIGID.joint_damping = 1e-4
+# bang-bang. 5e-4 (decay time ~16 steps) also keeps the door's late-window
+# angle a function of LATE pushes, which keeps the pose-loss gradients
+# short-horizon instead of chaotic 3000-step chains.
+RIGID.joint_damping = 5e-4
 
 Door = CN()
 Door.friction = 0.001

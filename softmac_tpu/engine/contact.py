@@ -15,6 +15,7 @@ tiny per-body arrays whose components broadcast as scalars.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from softmac_tpu.engine.sdf import sample_sdf_normal_world, sample_sdf_world
 from softmac_tpu.engine.types import SDFParams
@@ -121,10 +122,13 @@ def collide_particle(prim: SDFParams, body_pos, body_quat, body_v, body_w,
 
 
 def collide_mixed(prim: SDFParams, body_pos, body_quat, body_v, body_w,
-                  friction, softness, x, p_v, p_mass, dt, life):
+                  friction, softness, x, p_v, p_mass, dt, life,
+                  push_cap=None):
     """Forecast-based mixed contact (primitive_base.py:139-181).
 
     x, p_v: vec of (N,); life: scalar 1/(substeps - k). Returns (p_v', wrench).
+    ``push_cap`` bounds the penetration push-out speed (m/s); None/inf is the
+    reference's uncapped ``(sdf/dt)*life`` (primitive_base.py:167-170).
     """
     bp, bq, bv, bw = _body_tuples(body_pos, body_quat, body_v, body_w)
     dist, D = sample_sdf_normal_world(prim, bp, bq, x)
@@ -158,7 +162,10 @@ def collide_mixed(prim: SDFParams, body_pos, body_quat, body_v, body_w,
     sdf2, n2 = sample_sdf_normal_world(prim, bp, bq, x_new)
     pen = mask & (sdf2 < 0)
     sdf2_s = jnp.where(pen, sdf2, 0.0)
-    p_v2 = m33.vsub(p_v1, m33.vscale(n2, (sdf2_s / dt) * life))
+    push = -(sdf2_s / dt) * life  # >= 0: outward along n2
+    if push_cap is not None and np.isfinite(push_cap):
+        push = jnp.minimum(push, push_cap)
+    p_v2 = m33.vadd(p_v1, m33.vscale(n2, push))
 
     p_v_out = m33.vwhere(mask, p_v2, p_v_in)
     b_f = m33.vscale(m33.vsub(p_v_in, p_v_out), p_mass / dt)

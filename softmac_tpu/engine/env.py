@@ -42,6 +42,41 @@ from softmac_tpu.engine.types import (
 REPO_ROOT = Path(__file__).resolve().parents[2]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def clip_cotangent(x, cap: float):
+    """Identity whose backward pass (a) zeroes non-finite cotangent entries
+    and (b) rescales the cotangent pytree to global L2 norm <= cap.
+
+    Applied to the rollout carry at block boundaries this is adaptive
+    gradient-clipping-through-time: long chaotic MPM horizons grow their
+    adjoint exponentially (BASELINE.md: ~1e3x by 1000 substeps in ANY
+    precision — the reference fights it with f64 + a fixed ext_grad_scale =
+    1/40, demo_door.py:116); clipping keeps the direction and bounds the
+    magnitude only when it actually explodes."""
+    return x
+
+
+def _clip_cot_fwd(x, cap):
+    return x, None
+
+
+def _clip_cot_bwd(cap, _, g):
+    g = jax.tree.map(
+        lambda t: jnp.where(jnp.isfinite(t), t, 0.0).astype(t.dtype)
+        if jnp.issubdtype(t.dtype, jnp.floating) else t, g)
+    sq = sum(jnp.sum(t * t) for t in jax.tree.leaves(g)
+             if jnp.issubdtype(t.dtype, jnp.floating))
+    norm = jnp.sqrt(sq + 1e-30)
+    scale = jnp.minimum(1.0, cap / norm)
+    g = jax.tree.map(
+        lambda t: (t * scale).astype(t.dtype)
+        if jnp.issubdtype(t.dtype, jnp.floating) else t, g)
+    return (g,)
+
+
+clip_cotangent.defvjp(_clip_cot_fwd, _clip_cot_bwd)
+
+
 def _resolve_dtype(cfg) -> jnp.dtype:
     """f32 on accelerators, f64 on CPU when x64 is enabled ("auto")."""
     choice = cfg.TPU.compute_dtype if "TPU" in cfg else "auto"
@@ -55,7 +90,8 @@ def _resolve_dtype(cfg) -> jnp.dtype:
 
 
 class SoftMacEnv:
-    def __init__(self, cfg, loss: bool = True, search_dirs=None):
+    def __init__(self, cfg, loss: bool = True, search_dirs=None,
+                 init_particles=None):
         self.cfg_full = cfg
         self.cfg = cfg.ENV
         self.env_dt = cfg.env_dt
@@ -67,8 +103,18 @@ class SoftMacEnv:
         self.dtype = _resolve_dtype(cfg)
 
         # ---------------- particles ----------------------------------------
-        self.shapes = Shapes(cfg.SHAPES, search_dirs=self.search_dirs)
-        self.init_particles, self.particle_colors = self.shapes.get()
+        # init_particles overrides SHAPES with an explicit (N, 3) position
+        # array (or (N, >=6) packed state whose first 3 columns are x) — the
+        # constructor path for scaled/bench scenes and procedurally generated
+        # states (no SHAPES sampling).
+        if init_particles is not None:
+            init_particles = np.asarray(init_particles, np.float64)
+            self.shapes = None
+            self.init_particles = init_particles[:, :3]
+            self.particle_colors = np.zeros(len(init_particles), np.int64)
+        else:
+            self.shapes = Shapes(cfg.SHAPES, search_dirs=self.search_dirs)
+            self.init_particles, self.particle_colors = self.shapes.get()
         self.n_particles = len(self.init_particles)
 
         # ---------------- primitives (URDF -> SDF tables) -------------------
@@ -121,6 +167,9 @@ class SoftMacEnv:
             enable_external_force=tuple(prim_ext_force),
             rigid_velocity_control=self.rigid_velocity_control,
             mpm_scale=self.mpm_scale,
+            contact_push_velocity_cap=float(
+                sim.get("contact_push_velocity_cap", np.inf)),
+            cfl_velocity_clamp=float(sim.get("cfl_velocity_clamp", np.inf)),
             dtype=self.dtype,
         )
         mu, lam = lame_parameters(sim.E, sim.nu, sim.ptype)
@@ -208,6 +257,11 @@ class SoftMacEnv:
             self.action_dim = 6 * self.n_primitives
         else:
             self.action_dim = self.rigid_model.action_dim if self.rigid_model else 0
+
+        # ---------------- multi-chip -----------------------------------------
+        # When set (by parallel/sharding.py inside a shard_map trace), every
+        # substep combines particle-sharded partials over this mesh axis.
+        self.particle_axis_name = None
 
         # ---------------- runtime state (facade) ------------------------------
         self._is_copy = False
@@ -309,7 +363,8 @@ class SoftMacEnv:
         def sub(c, k):
             mpm_s, bod = c
             mpm_s, extf, aux = mpm_mod.substep(
-                cfg, self.mpm_params, self.prims, mpm_s, bod, k, mpm_action)
+                cfg, self.mpm_params, self.prims, mpm_s, bod, k, mpm_action,
+                axis_name=self.particle_axis_name)
             if self.rigid_vel_model is not None:
                 bod = RigidVelocityModel.forward_kinematics(bod, cfg.dt)
             return (mpm_s, bod), (extf, aux["window_overflow"])
@@ -358,7 +413,8 @@ class SoftMacEnv:
             x_prev = (mpm_s.x[0], mpm_s.x[1], mpm_s.x[2])
             mpm_s, extv, aux = mpm_mod.substep_cloth(
                 cfg, self.mpm_params, self.cloth_params, mpm_s,
-                cloth_xf, cloth_vf, pen_s, k, mpm_action)
+                cloth_xf, cloth_vf, pen_s, k, mpm_action,
+                axis_name=self.particle_axis_name)
             x_new = (mpm_s.x[0], mpm_s.x[1], mpm_s.x[2])
             cid = get_contact_pair(self.cloth_params, cloth_xf, x_new,
                                    pen_s.penetration)
@@ -462,17 +518,43 @@ class SoftMacEnv:
         return np.concatenate(parts)
 
     def get_state(self, f=None):
-        """Packed (N, 24) particle state [x v F C] — the reference's
-        checkpoint layout (mpm_simulator.py:481-492)."""
+        """Packed particle state — the reference's checkpoint layout:
+        (N, 24) ``[x v F C]`` (softmac mpm_simulator.py:481-492); cloth envs
+        append contact_id and penetration columns for (N, 26)
+        (soft_cloth mpm_simulator.py:604-615)."""
         from softmac_tpu.engine.types import mpm_state_to_packed
-        return np.asarray(mpm_state_to_packed(self._carry[0]))
+        packed = np.asarray(mpm_state_to_packed(self._carry[0]))
+        if self.has_cloth:
+            pen = self._carry[2]
+            packed = np.hstack([
+                packed,
+                np.asarray(pen.contact_id, np.float64)[:, None],
+                np.asarray(pen.penetration, np.float64)[:, None]])
+        return packed
 
     def set_state(self, packed):
-        """Load a packed (N, 24) particle state into the current carry."""
+        """Load a packed (N, 24) or (N, 26) particle state into the carry
+        (the reference's setframe restores only [x v F C],
+        soft_cloth mpm_simulator.py:617-618; the extra cloth columns, when
+        present, also restore the contact/penetration side-state)."""
+        packed = np.asarray(packed)
         from softmac_tpu.engine.types import mpm_state_from_packed
-        mpm = mpm_state_from_packed(self.mpm_cfg, jnp.asarray(packed))
-        self._carry = (mpm,) + tuple(self._carry[1:])
+        mpm = mpm_state_from_packed(self.mpm_cfg, jnp.asarray(packed[:, :24]))
+        rest = tuple(self._carry[1:])
+        if self.has_cloth and packed.shape[1] >= 26:
+            pen = self._carry[2].replace(
+                contact_id=jnp.asarray(packed[:, 24], jnp.int32),
+                penetration=jnp.asarray(packed[:, 25], jnp.int8))
+            rest = (rest[0], pen) + rest[2:]
+        self._carry = (mpm,) + rest
         self._history = [self._snapshot()]
+
+    def check_penetration(self) -> int:
+        """Number of particles currently flagged as penetrating the cloth
+        (soft_cloth mpm_simulator.py:555-561)."""
+        if not self.has_cloth:
+            return 0
+        return int(np.asarray(self._carry[2].penetration).astype(np.int32).sum())
 
     def backward(self, loss_start_frame=None, loss_stride=20):
         """Gradient of the sampled-frame loss w.r.t. the recorded actions.
@@ -533,7 +615,7 @@ class SoftMacEnv:
         return block, n_blocks, mask.astype(np.float64), include_f0
 
     def _build_rollout(self, n_steps, loss_start_frame, loss_stride, with_grad,
-                       bptt_window=None):
+                       bptt_window=None, grad_clip=None, batched=False):
         block, n_blocks, mask_np, include_f0 = self._sample_mask(
             n_steps, loss_start_frame, loss_stride)
         assert n_blocks * block == n_steps, (
@@ -543,6 +625,8 @@ class SoftMacEnv:
         env_step = jax.checkpoint(self._env_step_fn)
 
         def block_fn(carry, action_block):
+            if grad_clip is not None:
+                carry = clip_cotangent(carry, float(grad_clip))
             carry, (ovf, _) = jax.lax.scan(env_step, carry, action_block)
             if self.has_cloth:
                 mpm, cloth, _ = carry
@@ -621,7 +705,7 @@ class SoftMacEnv:
             return loss_total, (terms_acc, carry)
 
         if not with_grad:
-            return jax.jit(rollout)
+            return jax.jit(jax.vmap(rollout) if batched else rollout)
 
         def rollout_grad(actions, carry0):
             (loss, (terms, carry)), g = jax.value_and_grad(
@@ -629,29 +713,65 @@ class SoftMacEnv:
             return {"loss": loss, "terms": terms, "carry": carry,
                     "action_grad": g}
 
-        return jax.jit(rollout_grad)
+        return jax.jit(jax.vmap(rollout_grad) if batched else rollout_grad)
 
     def _get_rollout(self, n_steps, loss_start_frame, loss_stride, with_grad,
-                     bptt_window=None):
-        key = (n_steps, loss_start_frame, loss_stride, with_grad, bptt_window)
+                     bptt_window=None, grad_clip=None, batched=False):
+        key = (n_steps, loss_start_frame, loss_stride, with_grad, bptt_window,
+               grad_clip, batched)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_rollout(*key)
         return self._jit_cache[key]
 
     def rollout(self, actions, loss_start_frame=None, loss_stride=20,
-                bptt_window=None):
+                bptt_window=None, grad_clip=None):
         actions = jnp.asarray(actions, self.dtype)
         fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride,
-                               False, bptt_window)
+                               False, bptt_window, grad_clip)
         loss, (terms, carry) = fn(actions, self._initial_carry())
         return {"loss": loss, "terms": terms, "carry": carry}
 
     def rollout_and_grad(self, actions, loss_start_frame=None, loss_stride=20,
-                         bptt_window=None):
+                         bptt_window=None, grad_clip=None):
         actions = jnp.asarray(actions, self.dtype)
         fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride,
-                               True, bptt_window)
+                               True, bptt_window, grad_clip)
         return fn(actions, self._initial_carry())
+
+    # ------------------------------------------------------------------
+    # batched multi-trajectory API (vmap over the functional rollout;
+    # composes with the dp mesh axis in parallel/sharding.py)
+    # ------------------------------------------------------------------
+    def _batched_carry(self, actions, carry0):
+        if carry0 is None:
+            B = actions.shape[0]
+            c = self._initial_carry()
+            carry0 = jax.tree.map(
+                lambda s: jnp.broadcast_to(s[None], (B,) + s.shape), c)
+        return carry0
+
+    def batched_rollout(self, actions, carry0=None, loss_start_frame=None,
+                        loss_stride=20, bptt_window=None, grad_clip=None):
+        """Roll out B independent trajectories in ONE jitted program.
+
+        actions: (B, T, action_dim); carry0: optional batched carry pytree
+        (leading B axis), default = the scene's initial state broadcast B
+        ways. Returns {"loss": (B,), "terms": {... (B,)}, "carry": batched}.
+        """
+        actions = jnp.asarray(actions, self.dtype)
+        fn = self._get_rollout(actions.shape[1], loss_start_frame, loss_stride,
+                               False, bptt_window, grad_clip, batched=True)
+        loss, (terms, carry) = fn(actions, self._batched_carry(actions, carry0))
+        return {"loss": loss, "terms": terms, "carry": carry}
+
+    def batched_rollout_and_grad(self, actions, carry0=None,
+                                 loss_start_frame=None, loss_stride=20,
+                                 bptt_window=None, grad_clip=None):
+        """Like batched_rollout, plus per-trajectory "action_grad" (B, T, A)."""
+        actions = jnp.asarray(actions, self.dtype)
+        fn = self._get_rollout(actions.shape[1], loss_start_frame, loss_stride,
+                               True, bptt_window, grad_clip, batched=True)
+        return fn(actions, self._batched_carry(actions, carry0))
 
     # ==================================================================
     # rendering

@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from softmac_tpu.engine import contact as contact_mod
@@ -72,11 +73,13 @@ def _dot0(a, b):
                            precision=_PRECISION, preferred_element_type=a.dtype)
 
 
-def window_geometry(cfg: MPMConfig, x_vec):
+def window_geometry(cfg: MPMConfig, x_vec, axis_name=None):
     """Active-window sizes and (dynamic) corner for this substep.
 
     Returns (sizes (3 ints), corner (3 traced int32 scalars), overflow bool).
     With no window configured: full grid, corner 0, overflow False.
+    With ``axis_name`` (particle-sharded execution) the corner is the global
+    min/max over all shards so every chip builds the same window.
     """
     ng = cfg.n_grid
     if not cfg.active_window:
@@ -84,14 +87,30 @@ def window_geometry(cfg: MPMConfig, x_vec):
         return (ng, ng, ng), (zero, zero, zero), jnp.bool_(False)
     sizes = tuple(int(w) for w in cfg.active_window)
     corner = []
-    overflow = jnp.bool_(False)
+    out = jnp.zeros_like(x_vec[0], dtype=bool)
     for d in range(3):
-        pos = x_vec[d] * cfg.inv_dx - 0.5
-        base_min = jnp.floor(jnp.min(pos)).astype(jnp.int32)
-        c = jnp.clip(base_min - 1, 0, ng - sizes[d])
-        base_max = jnp.floor(jnp.max(pos)).astype(jnp.int32)
-        overflow = overflow | (base_max + 2 > c + sizes[d] - 1)
+        # integer outputs only — stop_gradient so autodiff never differentiates
+        # through mean/pmean here (the corner is a discrete re-indexing)
+        pos = lax.stop_gradient(x_vec[d] * cfg.inv_dx - 0.5)
+        # centroid-centered corner: a min/max corner lets a single ejected
+        # outlier drag the window off the main blob, silently zeroing EVERY
+        # particle's weights (observed on the door scene: one slam froze the
+        # whole sim). With the centroid, outliers only freeze themselves —
+        # and are reported via the overflow flag.
+        center = jnp.mean(pos)
+        if axis_name is not None:
+            center = lax.pmean(center, axis_name)
+        c = jnp.clip(jnp.round(center).astype(jnp.int32) - sizes[d] // 2,
+                     0, ng - sizes[d])
+        # per-particle coverage: stencil rows base..base+2 must lie inside
+        # [c, c+size-1]; overflow on EITHER side zeroes that particle's
+        # weights (mass silently vanishes from the transfer), so report both
+        base = jnp.floor(pos).astype(jnp.int32)
+        out = out | (base < c) | (base + 2 > c + sizes[d] - 1)
         corner.append(c)
+    overflow = jnp.any(out)
+    if axis_name is not None:
+        overflow = lax.pmax(overflow.astype(jnp.int32), axis_name) > 0
     return sizes, tuple(corner), overflow
 
 
@@ -254,6 +273,21 @@ def boundary_condition(cfg: MPMConfig, coords, gv):
     return tuple(out)
 
 
+def cfl_clamp(cfg: MPMConfig, gv):
+    """Optional per-component grid-velocity clamp at
+    ``cfl_velocity_clamp * dx / dt`` (off when the factor is inf, the
+    default — exact reference parity). MLS-MPM is only valid while a
+    particle crosses < 1 cell per substep; beyond that, transport tunnels
+    through colliders and thin rigid bodies and blows up (observed on the
+    door slam). Clamping the GRID velocity bounds both advection and the
+    velocity gradient C, so a transient elastic spike dissipates instead of
+    amplifying. Never binds in healthy regimes (cap >> scene speeds)."""
+    if not np.isfinite(cfg.cfl_velocity_clamp):
+        return gv
+    cap = float(cfg.cfl_velocity_clamp) * cfg.dx / cfg.dt
+    return tuple(jnp.clip(v, -cap, cap) for v in gv)
+
+
 def grid_normalize(cfg: MPMConfig, grid, gravity):
     """Momentum -> velocity + gravity on non-empty cells."""
     m = grid[0]
@@ -274,10 +308,21 @@ def substep(
     bodies: BodyState,
     k,                      # substep index within the env step (0..substeps-1)
     mpm_action=None,        # (n_controllers, 3) or None
+    axis_name=None,         # particle-shard mesh axis (multi-chip execution)
 ):
-    """One MLS-MPM substep with contact. Returns (new_state, ext_f (B, 6))."""
+    """One MLS-MPM substep with contact. Returns (new_state, ext_f (B, 6)).
+
+    With ``axis_name`` the particle arrays (state, per-particle params) are
+    shard-local; partial P2G grids, the mixed-mode correction splat, and
+    particle-summed contact wrenches are combined with ``psum`` over the
+    named mesh axis (grid ops then run replicated). This is the one and only
+    substep implementation — multi-chip execution reuses it verbatim.
+    """
     dtype = state.x.dtype
     n_prims = len(prims)
+
+    def _psum(t):
+        return lax.psum(t, axis_name) if axis_name is not None else t
 
     x = (state.x[0], state.x[1], state.x[2])
     v = (state.v[0], state.v[1], state.v[2])
@@ -305,7 +350,7 @@ def substep(
                 prims[i], bodies.pos[i], bodies.quat[i], bodies.v[i], bodies.w[i],
                 params.friction[i], x, v, cfg.dt, cfg.p_mass)
             impulse = m33.vadd(impulse, imp)
-            wrenches[i] = wrenches[i] + wr
+            wrenches[i] = wrenches[i] + _psum(wr)  # particle-partial sums
 
     if cfg.n_controllers > 0 and mpm_action is not None:
         cidx = params.control_idx
@@ -316,14 +361,16 @@ def substep(
             for d in range(3))
 
     # --- dense B-spline transfer operators (active window) -------------------
-    sizes, corner, overflow = window_geometry(cfg, x)
+    sizes, corner, overflow = window_geometry(cfg, x, axis_name)
     W, WD = axis_weights(cfg, x, sizes, corner)
     Hyz, HyzDy, HyzDz = hyz_family(cfg, W, WD)
 
     # --- P2G ---------------------------------------------------------------
-    grid = p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
+    grid = _psum(p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse))
 
     # --- grid ops + contact --------------------------------------------------
+    # (the grid is replicated after the psum: grid-level contact and its
+    # wrench are computed identically on every shard — no further psum)
     coords = grid_coords(cfg, sizes, corner)
     g_v, mask, grid_m = grid_normalize(cfg, grid, params.gravity)
 
@@ -338,13 +385,14 @@ def substep(
             v_tgt, wr = contact_mod.collide_mixed(
                 prims[i], bodies.pos[i], bodies.quat[i], bodies.v[i], bodies.w[i],
                 params.friction[i], params.softness[i],
-                x, v_tgt, cfg.p_mass, cfg.dt, life)
-            wrenches[i] = wrenches[i] + wr
+                x, v_tgt, cfg.p_mass, cfg.dt, life,
+                push_cap=cfg.contact_push_velocity_cap)
+            wrenches[i] = wrenches[i] + _psum(wr)  # particle-partial sums
 
         # splat the velocity correction back (grid_op_mixed4, alpha = 2.0)
         alpha = 2.0
         dv = m33.vsub(v_tmp, v_tgt)
-        corr = splat_channels(cfg, W, Hyz, [-alpha * dv[d] for d in range(3)])
+        corr = _psum(splat_channels(cfg, W, Hyz, [-alpha * dv[d] for d in range(3)]))
         grid_v_out = tuple(
             jnp.where(mask, grid_v_mixed[d] + corr[d], 0.0) for d in range(3))
     elif cfg.collision_type == CONTACT_GRID:
@@ -370,6 +418,8 @@ def substep(
     else:
         grid_v_out = boundary_condition(cfg, coords, g_v)
 
+    grid_v_out = cfl_clamp(cfg, grid_v_out)
+
     # --- G2P + advection -----------------------------------------------------
     v_new, C_new, x_new = g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, grid_v_out, x)
 
@@ -393,16 +443,23 @@ def substep_cloth(
     pen,                     # PenetrationState (stop-gradient integer carry)
     k,
     mpm_action=None,
+    axis_name=None,          # particle-shard mesh axis (multi-chip execution)
 ):
     """MLS-MPM substep coupled to a triangle-mesh cloth (the soft_cloth
     variant: ``soft_cloth/engine/mpm_simulator.py`` substep with
     grid_op_mixed3 calling the cloth's collide, :418-428).
 
-    Returns (new_state, vertex ext forces (V, 3), aux)."""
+    Returns (new_state, vertex ext forces (V, 3), aux). With ``axis_name``
+    the particle arrays are shard-local; the P2G grid, the correction splat,
+    and the particle-summed vertex forces are psum'd (cloth state replicated).
+    """
     from softmac_tpu.engine import cloth_contact as cc
 
     dtype = state.x.dtype
     n_vertices = cloth_x.shape[0]
+
+    def _psum(t):
+        return lax.psum(t, axis_name) if axis_name is not None else t
 
     x = (state.x[0], state.x[1], state.x[2])
     v = (state.v[0], state.v[1], state.v[2])
@@ -425,7 +482,7 @@ def substep_cloth(
             cloth_params, cloth_x, cloth_v, x, v, cfg.p_mass, cfg.dt, 1.0,
             pen, n_vertices, mode="particle")
         impulse = m33.vadd(impulse, imp)
-        ext_vertex_f = ext_vertex_f + ext
+        ext_vertex_f = ext_vertex_f + _psum(ext)
 
     if cfg.n_controllers > 0 and mpm_action is not None:
         cidx = params.control_idx
@@ -435,11 +492,11 @@ def substep_cloth(
             impulse[d] + jnp.where(on, 6e-4 * mpm_action[sel, d] * cfg.dt, 0.0)
             for d in range(3))
 
-    sizes, corner, overflow = window_geometry(cfg, x)
+    sizes, corner, overflow = window_geometry(cfg, x, axis_name)
     W, WD = axis_weights(cfg, x, sizes, corner)
     Hyz, HyzDy, HyzDz = hyz_family(cfg, W, WD)
 
-    grid = p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
+    grid = _psum(p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse))
 
     coords = grid_coords(cfg, sizes, corner)
     g_v, mask, grid_m = grid_normalize(cfg, grid, params.gravity)
@@ -451,15 +508,17 @@ def substep_cloth(
         v_tgt, ext = cc.collide_cloth(
             cloth_params, cloth_x, cloth_v, x, v_tmp, cfg.p_mass, cfg.dt,
             life, pen, n_vertices, mode="mixed")
-        ext_vertex_f = ext_vertex_f + ext
+        ext_vertex_f = ext_vertex_f + _psum(ext)
 
         alpha = 2.0
         dv = m33.vsub(v_tmp, v_tgt)
-        corr = splat_channels(cfg, W, Hyz, [-alpha * dv[d] for d in range(3)])
+        corr = _psum(splat_channels(cfg, W, Hyz, [-alpha * dv[d] for d in range(3)]))
         grid_v_out = tuple(
             jnp.where(mask, grid_v_mixed[d] + corr[d], 0.0) for d in range(3))
     else:
         grid_v_out = boundary_condition(cfg, coords, g_v)
+
+    grid_v_out = cfl_clamp(cfg, grid_v_out)
 
     v_new, C_new, x_new = g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, grid_v_out, x)
 

@@ -1,11 +1,13 @@
 """Offscreen scene renderer.
 
 The reference renders with pyrender/EGL (``softmac/engine/renderer/renderer.py``,
-512x512 offscreen, checkerboard floor, particle spheres, rigid meshes).
-pyrender is not available here, so this is a small first-party software
-rasterizer (numpy z-buffer: point splats for particles, flat-shaded triangles
-for rigid/cloth meshes, checkerboard floor). If pyrender is importable it is
-used instead.
+512x512 offscreen — 1024x1024 for the cloth scenes, soft_cloth renderer — with
+a checkerboard floor, particle spheres, rigid meshes). pyrender is not
+available in this environment, so this is a first-party software rasterizer:
+numpy z-buffer, point splats for particles, per-face diffuse-shaded triangles
+for rigid/cloth meshes (shade = 0.35 + 0.65|n.l| against the configured
+light), checkerboard floor, and target-geometry overlays. Resolution comes
+from RENDERER.image_res (default 512x512; the cloth demo configs set 1024).
 """
 from __future__ import annotations
 

@@ -11,6 +11,7 @@ import dataclasses
 from typing import Any, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 # material / model enums (parity with reference mpm_simulator.py:4-13)
@@ -116,6 +117,17 @@ class MPMConfig:
     enable_external_force: Tuple[bool, ...] = ()
     rigid_velocity_control: bool = False
     mpm_scale: float = 1.0
+    # Cap (m/s) on the mixed-contact penetration push-out speed
+    # (primitive_base.py:167-170 is uncapped: ``p_v -= (sdf/dt)*n*life``; at
+    # dt=1e-3 against a thin fast collider the kick re-penetrates the far
+    # side and amplifies every step until ejection — verified on the door
+    # scene, particles reach 1e8 within ~150 steps of the first slam).
+    # inf = exact reference formula; the cloth path has the same knob
+    # (cloth_contact.push_velocity_cap).
+    contact_push_velocity_cap: float = np.inf
+    # Grid-velocity clamp at this multiple of dx/dt (CFL cells-per-substep);
+    # inf = off (reference parity). See mpm.cfl_clamp.
+    cfl_velocity_clamp: float = np.inf
     dtype: Any = jnp.float32
 
     @property

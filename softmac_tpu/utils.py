@@ -150,6 +150,16 @@ class Controller:
         reps = self.steps // self.num_actions
         return np.repeat(acts, reps, axis=0)
 
+    def set_actions(self, actions):
+        """Restore an action trajectory (backtracking / checkpoint resume).
+        Accepts the compact (num_actions, dim) array or the expanded
+        (steps, dim) one (averaged back per control interval)."""
+        a = np.asarray(actions, np.float64)
+        if a.shape[0] > self.num_actions:
+            a = a.reshape(self.num_actions, -1, self.action_dim).mean(axis=1)
+        scale = np.where(self.action_scale == 0, 1.0, self.action_scale)
+        self.action = (a / scale).copy()
+
     def step(self, grad):
         """grad: (steps, dim) gradient w.r.t. expanded actions."""
         self.schedule_lr()

@@ -141,3 +141,26 @@ def test_scene_config_parsing():
     v = np.array([[1.0, 0, 0]])
     v2 = transform_mesh(v, {"scale": 2.0, "translation": [1, 1, 1]})
     np.testing.assert_allclose(v2, [[3.0, 1.0, 1.0]])
+
+
+def test_cloth_env_state_io_and_penetration_counter():
+    """Cloth envs pack [x v F C contact_id penetration] -> (N, 26)
+    (soft_cloth/engine/mpm_simulator.py:604-615) and expose the
+    check_penetration runtime counter (:555-561)."""
+    from softmac_tpu import SoftMacEnv, load
+    cfg = load("softmac_tpu/config/demo_hit_config.py")
+    env = SoftMacEnv(cfg)
+    env.reset()
+    packed = env.get_state()
+    assert packed.shape == (env.n_particles, 26)
+    assert env.check_penetration() == 0
+
+    env.step(np.zeros(env.action_dim))
+    moved = env.get_state()
+    env.set_state(packed)
+    np.testing.assert_allclose(env.get_state(), packed, atol=1e-12)
+    env.set_state(moved)
+    np.testing.assert_allclose(env.get_state(), moved, atol=1e-12)
+    # 24-column (rigid-layout) states load too, preserving side-state
+    env.set_state(moved[:, :24])
+    np.testing.assert_allclose(env.get_state(), moved, atol=1e-12)

@@ -109,3 +109,30 @@ def test_bptt_window_rollout(pour_vel_env):
     assert np.isfinite(g).all()
     # late actions still get gradient within their segment
     assert np.abs(g[-4:]).sum() > 0
+
+
+def test_batched_multistart_optimization(pour_vel_env):
+    """B=4 trajectories in ONE jitted vmap program (multi-start trajectory
+    optimization, SURVEY 2.4 'batched rollouts map to vmap+DP'): per-start
+    losses match the unbatched rollout, grads are per-start, and one SGD
+    step descends every start. (Single heavy compile — the batched grad
+    program — shared by all three checks.)"""
+    env = pour_vel_env
+    rng = np.random.RandomState(0)
+    T = 6
+    acts = np.asarray(rng.uniform(-0.05, 0.05, (4, T, env.action_dim)))
+    out = env.batched_rollout_and_grad(acts, loss_stride=2)
+    g = np.asarray(out["action_grad"])
+    loss0 = np.asarray(out["loss"])
+    assert loss0.shape == (4,) and g.shape == acts.shape
+    assert np.isfinite(g).all()
+
+    # batched == unbatched, per start
+    for i in range(2):
+        out_i = env.rollout(acts[i], loss_stride=2)
+        np.testing.assert_allclose(loss0[i], float(out_i["loss"]), rtol=1e-12)
+
+    # one joint SGD step descends every start (reuses the same compile)
+    out2 = env.batched_rollout_and_grad(acts - 2e-2 * g, loss_stride=2)
+    loss1 = np.asarray(out2["loss"])
+    assert (loss1 < loss0).all(), (loss0, loss1)
