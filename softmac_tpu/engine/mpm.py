@@ -50,15 +50,19 @@ from softmac_tpu.ops import m33
 OFFSETS = tuple((i, j, k) for i in range(3) for j in range(3) for k in range(3))
 
 
-# Full f32 precision for the transfer matmuls: the default TPU matmul runs
-# in bf16, whose ~0.3% error is velocity noise injected every substep (it
-# visibly destabilizes the cloth solver and degrades gradient quality).
+# Transfer-matmul precision. The TPU default (single-pass bf16, ~0.3%
+# error per op) injects velocity noise every substep and destabilizes the
+# cloth solver — never use it here. HIGH (bf16_3x passes, ~1e-6 relative)
+# is numerically indistinguishable from f32 for these magnitudes and ~30%
+# faster end-to-end than HIGHEST (6 passes) because the backward pass
+# doubles the matmul count; validated against the f64 oracle by bench.py's
+# tpu_oracle check and the CPU test suite (CPU ignores this setting).
 import os as _os
 _PRECISION = {
     "default": lax.Precision.DEFAULT,
     "high": lax.Precision.HIGH,
     "highest": lax.Precision.HIGHEST,
-}[_os.environ.get("SOFTMAC_TPU_MATMUL_PRECISION", "highest")]
+}[_os.environ.get("SOFTMAC_TPU_MATMUL_PRECISION", "high")]
 
 
 def _dotT(a, b):
@@ -144,7 +148,15 @@ def axis_weights(cfg: MPMConfig, x_vec, sizes=None, corner=None):
 
 
 def hyz_family(cfg: MPMConfig, W, WD):
-    """The three Khatri-Rao (y,z) pair matrices, (wy*wz, N) each."""
+    """The three Khatri-Rao (y,z) pair matrices, (wy*wz, N) each.
+
+    On TPU (f32) the build runs as a Pallas streaming kernel — the XLA
+    lowering of the broadcast+reshape spends ~3x the write-bandwidth
+    roofline on cross-sublane relayouts (see ops/pallas_kr.py)."""
+    from softmac_tpu.ops import pallas_kr
+    if pallas_kr.kernel_enabled() and W[1].dtype == jnp.float32:
+        return pallas_kr.kr3(W[1], W[2], WD[1], WD[2])
+
     wy, wz = W[1].shape[0], W[2].shape[0]
 
     def pair(a, b):
