@@ -105,7 +105,14 @@ def main(args):
         acts = controller.get_actions()
         total_frames = args.steps * env.substeps
         start = (9 * total_frames // 10) // 10 * 10   # 1800 @ reference scale
-        out = env.rollout_and_grad(acts, loss_start_frame=start, loss_stride=10)
+        # truncated BPTT: the sticky cloth<->MPM loop makes exact long-horizon
+        # adjoints explode (~1.8x/env step even with the contact-edge adjoint
+        # damping; BASELINE.md). Short-window gradients stay FD-faithful, and
+        # the delta-cumsum controller keeps them globally informative: an
+        # early delta shifts every later handle position, so d loss/d delta_i
+        # sums the (clean) late-window action gradients.
+        out = env.rollout_and_grad(acts, loss_start_frame=start, loss_stride=10,
+                                   bptt_window=20, grad_clip=10.0)
         loss = float(out["loss"])
         timer.stop()
         timer.times["loss"] = timer.times["backward"] = 0.0

@@ -33,6 +33,12 @@ PRIMITIVE.softness = 666.0
 PRIMITIVE.cloth_force_scale = 1.0
 PRIMITIVE.mpm_force_scale = 1.0
 PRIMITIVE.sticky = True
+# adjoint damping on the sticky-contact gradient edges: the two-way
+# cloth<->MPM loop amplifies the backward ~2.6x per env step (forward is
+# stable); 0.3 on both edges puts the loop gain at ~0.23 while keeping the
+# first-order action->cloth->particle signal. See ClothContactParams.
+PRIMITIVE.contact_geom_grad_scale = 0.3
+PRIMITIVE.contact_cv_grad_scale = 0.3
 
 _C.SHAPES = [
     {

@@ -99,6 +99,19 @@ class ClothContactParams:
     # through the cloth and the penetration flags cascade (hit scene dies at
     # step ~90). Bounded push-out recovers penetrations without the blow-up.
     push_velocity_cap: float = struct.field(pytree_node=False, default=5.0)
+    # Adjoint stabilization (static scales on gradient edges; values are
+    # unchanged). The two-way cloth<->MPM sticky-contact loop amplifies the
+    # backward pass ~2.6x per env step even though the forward is stable
+    # (measured on the taco scene: |d loss/d cloth.x| grows 66 -> 1.8e4
+    # over 10 env steps; the reference's implicit-Euler DiffCloth adjoint
+    # is dissipative, our PD + explicit exchange adjoint is not). Scaling
+    # BOTH contact gradient edges by s makes the loop gain s^2 * 2.6 < 1
+    # while first-order action->cloth->particle signal keeps its direction:
+    #   contact_geom_grad_scale: signed distance d, normal D, barycentrics;
+    #   contact_cv_grad_scale: interpolated cloth-surface velocity.
+    # 1.0 = reference semantics (no damping); 0.0 = cut the edge.
+    contact_geom_grad_scale: float = struct.field(pytree_node=False, default=1.0)
+    contact_cv_grad_scale: float = struct.field(pytree_node=False, default=1.0)
 
 
 @struct.dataclass
@@ -318,6 +331,14 @@ def collide_cloth(params: ClothContactParams, cloth_x, cloth_v, x, p_v,
     active = pen.contact_id >= 0
     d, D, weights, vid, cv = _contact_common(
         params, cloth_x, cloth_v, x, pen.contact_id, pen.penetration)
+    if params.contact_geom_grad_scale != 1.0:
+        from softmac_tpu.engine.rigid import grad_scale
+        d = grad_scale(d, params.contact_geom_grad_scale)
+        D = grad_scale(D, params.contact_geom_grad_scale)
+        weights = grad_scale(weights, params.contact_geom_grad_scale)
+    if params.contact_cv_grad_scale != 1.0:
+        from softmac_tpu.engine.rigid import grad_scale
+        cv = grad_scale(cv, params.contact_cv_grad_scale)
     threshold = 5e-3 * params.mpm_scale
     # trust radius: a penetration flag only engages the rescue while the
     # particle is within a few thresholds of the cloth. A mislabeled flag on

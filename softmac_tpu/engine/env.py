@@ -226,6 +226,10 @@ class SoftMacEnv:
                 sticky=bool(pcfg.get("sticky", False)),
                 mpm_scale=float(self.mpm_scale),
                 push_velocity_cap=float(pcfg.get("push_velocity_cap", 5.0)),
+                contact_geom_grad_scale=float(
+                    pcfg.get("contact_geom_grad_scale", 1.0)),
+                contact_cv_grad_scale=float(
+                    pcfg.get("contact_cv_grad_scale", 1.0)),
             )
 
         # ---------------- rigid simulator ----------------------------------
