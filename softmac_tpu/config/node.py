@@ -130,6 +130,21 @@ class ConfigNode(dict):
                 value = _coerce(value, node[parts[-1]])
             node[parts[-1]] = value
 
+    # -- variant selection -----------------------------------------------
+    def select_variant(self) -> "ConfigNode":
+        """Recursively drop sibling sub-nodes not chosen by a ``TYPE`` key
+        (the reference configs declare alternative blocks side by side and
+        pick one by name). Returns self for chaining."""
+        chosen = self.get("TYPE", None)
+        for k in [k for k, v in self.items()
+                  if isinstance(v, ConfigNode) and chosen is not None
+                  and k != chosen]:
+            del self[k]
+        for v in self.values():
+            if isinstance(v, ConfigNode):
+                v.select_variant()
+        return self
+
     # -- pretty print ---------------------------------------------------------
     def __str__(self) -> str:
         return self._dump(0)
@@ -185,3 +200,30 @@ def _load_py_config(path: Path) -> ConfigNode:
     if not isinstance(cfg, ConfigNode):
         cfg = ConfigNode(dict(cfg))
     return cfg
+
+
+def load(path=None, opts=None) -> ConfigNode:
+    """Build the runtime config: package defaults, overlaid with a python
+    config file and dotted-key CLI opts, variant-selected, frozen."""
+    from softmac_tpu.config.default_config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    if path is not None:
+        cfg.merge_from_file(path)
+    if opts is not None:
+        cfg.merge_from_list(opts)
+    return cfg.select_variant().freeze()
+
+
+def make_cls_config(owner, cfg=None, **kwargs) -> ConfigNode:
+    """Instantiate ``owner.default_config()`` overlaid with an optional
+    file/node and keyword overrides (the reference's per-class config
+    idiom, softmac/config/utils.py)."""
+    out = owner.default_config()
+    if isinstance(cfg, (str, Path)):
+        out.merge_from_file(cfg)
+    elif cfg is not None:
+        out.merge_from_other_cfg(cfg)
+    if kwargs:
+        out.merge_from_list([x for kv in kwargs.items() for x in kv])
+    return out

@@ -270,6 +270,7 @@ class SoftMacEnv:
         # ---------------- runtime state (facade) ------------------------------
         self._is_copy = False
         self._renderer = None
+        self._overflow_warned = False
         self.keep_history = True
         self._jit_cache = {}
         self._step_jit = jax.jit(self._env_step_fn)
@@ -727,12 +728,28 @@ class SoftMacEnv:
             self._jit_cache[key] = self._build_rollout(*key)
         return self._jit_cache[key]
 
+    def _check_overflow(self, terms):
+        """Fail loudly (once per env) when the active window missed a
+        particle: its mass silently vanishes from the transfers, corrupting
+        physics between epochs if unnoticed."""
+        ovf = terms.get("window_overflow")
+        if ovf is not None and not self._overflow_warned and bool(ovf):
+            import warnings
+            warnings.warn(
+                "active-window overflow: some particle's B-spline stencil "
+                "fell outside TPU.active_window this rollout — its mass is "
+                "dropped from the grid transfers. Enlarge the window or "
+                "expect corrupted physics. (Reported once per env.)",
+                RuntimeWarning, stacklevel=3)
+            self._overflow_warned = True
+
     def rollout(self, actions, loss_start_frame=None, loss_stride=20,
                 bptt_window=None, grad_clip=None):
         actions = jnp.asarray(actions, self.dtype)
         fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride,
                                False, bptt_window, grad_clip)
         loss, (terms, carry) = fn(actions, self._initial_carry())
+        self._check_overflow(terms)
         return {"loss": loss, "terms": terms, "carry": carry}
 
     def rollout_and_grad(self, actions, loss_start_frame=None, loss_stride=20,
@@ -740,7 +757,9 @@ class SoftMacEnv:
         actions = jnp.asarray(actions, self.dtype)
         fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride,
                                True, bptt_window, grad_clip)
-        return fn(actions, self._initial_carry())
+        out = fn(actions, self._initial_carry())
+        self._check_overflow(out["terms"])
+        return out
 
     # ------------------------------------------------------------------
     # batched multi-trajectory API (vmap over the functional rollout;
