@@ -6,7 +6,7 @@ Deterministic: seeded with numpy seed 0 exactly like the reference
 """
 from __future__ import annotations
 
-import os
+import ast
 from pathlib import Path
 
 import numpy as np
@@ -19,6 +19,15 @@ COLORS = [
 ]
 
 
+def _parse(key, value):
+    """Reference configs may express numeric shape params as string
+    literals; accept those via literal_eval (the reference uses eval(),
+    which would make every config file arbitrary code twice over)."""
+    if isinstance(value, str) and key not in ("shape", "path"):
+        return ast.literal_eval(value)
+    return value
+
+
 class Shapes:
     def __init__(self, cfg, search_dirs=(".",)):
         self.objects = []
@@ -26,23 +35,21 @@ class Shapes:
         self.dim = 3
         self.search_dirs = [str(d) for d in search_dirs]
 
+        samplers = {
+            "box": self.add_box,
+            "sphere": self.add_sphere,
+            "cylinder": self.add_cylinder,
+            "predefined": self.add_predefined,
+        }
         state = np.random.get_state()
         np.random.seed(0)  # fixed seed, reference parity
         try:
-            for i in cfg:
-                kwargs = {k: eval(v) if isinstance(v, str) and k not in ("shape", "path") else v
-                          for k, v in i.items() if k != "shape"}
-                shape = i["shape"]
-                if shape == "box":
-                    self.add_box(**kwargs)
-                elif shape == "sphere":
-                    self.add_sphere(**kwargs)
-                elif shape == "cylinder":
-                    self.add_cylinder(**kwargs)
-                elif shape == "predefined":
-                    self.add_predefined(**kwargs)
-                else:
-                    raise NotImplementedError(f"Shape {shape} is not supported!")
+            for spec in cfg:
+                if spec["shape"] not in samplers:
+                    raise NotImplementedError(
+                        f"Shape {spec['shape']} is not supported!")
+                samplers[spec["shape"]](**{
+                    k: _parse(k, v) for k, v in spec.items() if k != "shape"})
         finally:
             np.random.set_state(state)
 

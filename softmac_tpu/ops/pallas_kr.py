@@ -35,6 +35,7 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 _TILE_N = 512
+_INTERPRET = False   # tests flip this to run the kernel on CPU
 
 
 def _kernel(wy_ref, wz_ref, wyd_ref, wzd_ref, h_ref, hdy_ref, hdz_ref):
@@ -75,6 +76,7 @@ def _kr3_fwd_pallas(Wy, Wz, WDy, WDz):
         in_specs=[in_spec_y, in_spec_z, in_spec_y, in_spec_z],
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[shape, shape, shape],
+        interpret=_INTERPRET,
     )(Wy, Wz, WDy, WDz)
     if n_pad != n:
         H, HDy, HDz = H[:, :n], HDy[:, :n], HDz[:, :n]
