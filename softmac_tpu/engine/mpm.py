@@ -150,19 +150,24 @@ def axis_weights(cfg: MPMConfig, x_vec, sizes=None, corner=None):
 def hyz_family(cfg: MPMConfig, W, WD):
     """The three Khatri-Rao (y,z) pair matrices, (wy*wz, N) each.
 
-    On TPU (f32) the build runs as a Pallas streaming kernel — the XLA
-    lowering of the broadcast+reshape spends ~3x the write-bandwidth
-    roofline on cross-sublane relayouts (see ops/pallas_kr.py)."""
-    from softmac_tpu.ops import pallas_kr
-    if pallas_kr.kernel_enabled() and W[1].dtype == jnp.float32:
-        return pallas_kr.kr3(W[1], W[2], WD[1], WD[2])
-
+    On TPU (f32) the build runs as a Pallas streaming kernel (see
+    ops/pallas_kr.py). Selection uses ``lax.platform_dependent`` so the SAME
+    traced program lowers to the kernel on TPU and the XLA build elsewhere —
+    a default-backend check would pick the kernel for programs that execute
+    on virtual CPU meshes (the multichip dry run) and fail to lower."""
     wy, wz = W[1].shape[0], W[2].shape[0]
 
-    def pair(a, b):
-        return (a[:, None, :] * b[None, :, :]).reshape(wy * wz, -1)
+    def xla_build(Wy, Wz, WDy, WDz):
+        def pair(a, b):
+            return (a[:, None, :] * b[None, :, :]).reshape(wy * wz, -1)
+        return pair(Wy, Wz), pair(WDy, Wz), pair(Wy, WDz)
 
-    return pair(W[1], W[2]), pair(WD[1], W[2]), pair(W[1], WD[2])
+    from softmac_tpu.ops import pallas_kr
+    if pallas_kr.kernel_wanted() and W[1].dtype == jnp.float32:
+        return lax.platform_dependent(
+            W[1], W[2], WD[1], WD[2],
+            tpu=pallas_kr.kr3, default=xla_build)
+    return xla_build(W[1], W[2], WD[1], WD[2])
 
 
 def p2g_dense(cfg: MPMConfig, W, WD, Hyz, HyzDy, HyzDz, v_vec, C, stress, impulse):

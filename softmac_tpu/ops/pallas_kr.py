@@ -111,15 +111,9 @@ def _kr3_bwd(res, g):
 kr3.defvjp(_kr3_fwd, _kr3_bwd)
 
 
-@functools.cache
-def kernel_enabled() -> bool:
-    """True when the Pallas KR build should be used (TPU backend, opt-out
-    via SOFTMAC_TPU_NO_KR_KERNEL)."""
+def kernel_wanted() -> bool:
+    """True when the Pallas KR build may be offered to
+    ``lax.platform_dependent`` (which then only lowers it for TPU targets).
+    Opt-out via SOFTMAC_TPU_NO_KR_KERNEL."""
     import os
-    if not _HAS_PALLAS or os.environ.get("SOFTMAC_TPU_NO_KR_KERNEL"):
-        return False
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover
-        return False
-    return platform in ("tpu", "axon")
+    return _HAS_PALLAS and not os.environ.get("SOFTMAC_TPU_NO_KR_KERNEL")
