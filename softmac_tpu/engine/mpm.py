@@ -170,6 +170,31 @@ def hyz_family(cfg: MPMConfig, W, WD):
     return xla_build(W[1], W[2], WD[1], WD[2])
 
 
+def _fused_transfer_wanted(cfg: MPMConfig, dtype) -> bool:
+    """Static decision: route the B-spline transfers through the fully-fused
+    Pallas kernels (ops/pallas_fused.py). Requires f32, an active window with
+    sublane-aligned sizes, and pallas present. The actual TPU-vs-other choice
+    happens per lowering platform via ``lax.platform_dependent`` so the same
+    traced program also runs on virtual CPU meshes (multichip dry run)."""
+    if dtype != jnp.float32 or not cfg.active_window:
+        return False
+    from softmac_tpu.ops import pallas_fused
+    return pallas_fused.kernel_wanted(cfg.active_window)
+
+
+def _p2g_channels(cfg: MPMConfig, v_vec, C, stress, impulse):
+    """Pack the 13 per-particle P2G scalars (mass, momentum, dx-scaled
+    affine) into the fused kernel's (16, N) channel block. Same math as the
+    p2g_dense prologue."""
+    from softmac_tpu.ops import pallas_fused
+    stress_coef = -cfg.dt * cfg.p_vol * 4.0 * cfg.inv_dx * cfg.inv_dx
+    affine = m33.madd(m33.mscale(stress, stress_coef), m33.mscale(C, cfg.p_mass))
+    affine_dx = m33.mscale(affine, cfg.dx)
+    mom = tuple(cfg.p_mass * v_vec[d] + impulse[d] for d in range(3))
+    mass = jnp.full_like(v_vec[0], cfg.p_mass)
+    return pallas_fused.pack_channels(mass, mom, affine_dx)
+
+
 def p2g_dense(cfg: MPMConfig, W, WD, Hyz, HyzDy, HyzDz, v_vec, C, stress, impulse):
     """Dense P2G. Returns grid channels (mass, mom x/y/z), each (wy*wz, wx)."""
     ng = W[0].shape[0]
@@ -380,10 +405,24 @@ def substep(
     # --- dense B-spline transfer operators (active window) -------------------
     sizes, corner, overflow = window_geometry(cfg, x, axis_name)
     W, WD = axis_weights(cfg, x, sizes, corner)
-    Hyz, HyzDy, HyzDz = hyz_family(cfg, W, WD)
+    use_fused = _fused_transfer_wanted(cfg, dtype)
+    if use_fused:
+        from softmac_tpu.ops import pallas_fused as pf
+        ws6 = (W[0], WD[0], W[1], WD[1], W[2], WD[2])
+        wx = sizes[0]
+        Hyz = HyzDy = HyzDz = None
+    else:
+        Hyz, HyzDy, HyzDz = hyz_family(cfg, W, WD)
 
     # --- P2G ---------------------------------------------------------------
-    grid = _psum(p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse))
+    if use_fused:
+        chan = _p2g_channels(cfg, v, C, stress, impulse)
+        gm, gmom = lax.platform_dependent(
+            *ws6, chan, tpu=pf.p2g, default=pf._p2g_ref)
+        grid = (gm, gmom[:, :wx], gmom[:, wx:2 * wx], gmom[:, 2 * wx:])
+    else:
+        grid = p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
+    grid = _psum(grid)
 
     # --- grid ops + contact --------------------------------------------------
     # (the grid is replicated after the psum: grid-level contact and its
@@ -393,7 +432,13 @@ def substep(
 
     if cfg.collision_type == CONTACT_MIXED:
         grid_v_mixed = boundary_condition(cfg, coords, g_v)
-        v_tmp = gather_dense(cfg, W, Hyz, grid_v_mixed)
+        if use_fused:
+            vt = lax.platform_dependent(
+                W[0], W[1], W[2], jnp.concatenate(grid_v_mixed, axis=1),
+                tpu=pf.gather, default=pf._gather_ref)
+            v_tmp = (vt[0], vt[1], vt[2])
+        else:
+            v_tmp = gather_dense(cfg, W, Hyz, grid_v_mixed)
         v_tgt = v_tmp
         life = 1.0 / (cfg.substeps - k)
         for i in range(n_prims):
@@ -409,7 +454,15 @@ def substep(
         # splat the velocity correction back (grid_op_mixed4, alpha = 2.0)
         alpha = 2.0
         dv = m33.vsub(v_tmp, v_tgt)
-        corr = _psum(splat_channels(cfg, W, Hyz, [-alpha * dv[d] for d in range(3)]))
+        if use_fused:
+            cg = lax.platform_dependent(
+                W[0], W[1], W[2],
+                jnp.stack([-alpha * dv[d] for d in range(3)]),
+                tpu=pf.splat, default=pf._splat_ref)
+            corr = [cg[:, d * wx:(d + 1) * wx] for d in range(3)]
+        else:
+            corr = splat_channels(cfg, W, Hyz, [-alpha * dv[d] for d in range(3)])
+        corr = _psum(corr)
         grid_v_out = tuple(
             jnp.where(mask, grid_v_mixed[d] + corr[d], 0.0) for d in range(3))
     elif cfg.collision_type == CONTACT_GRID:
@@ -438,7 +491,18 @@ def substep(
     grid_v_out = cfl_clamp(cfg, grid_v_out)
 
     # --- G2P + advection -----------------------------------------------------
-    v_new, C_new, x_new = g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, grid_v_out, x)
+    if use_fused:
+        out16 = lax.platform_dependent(
+            *ws6, jnp.concatenate(grid_v_out, axis=1),
+            tpu=pf.g2p, default=pf._g2p_ref)
+        v_new = (out16[0], out16[1], out16[2])
+        s = 4.0 * cfg.inv_dx
+        C_new = tuple(tuple(s * out16[3 + 3 * d + j] for j in range(3))
+                      for d in range(3))
+        x_new = tuple(x[d] + cfg.dt * v_new[d] for d in range(3))
+    else:
+        v_new, C_new, x_new = g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz,
+                                        grid_v_out, x)
 
     new_state = MPMState(
         x=jnp.stack(x_new),
@@ -511,16 +575,36 @@ def substep_cloth(
 
     sizes, corner, overflow = window_geometry(cfg, x, axis_name)
     W, WD = axis_weights(cfg, x, sizes, corner)
-    Hyz, HyzDy, HyzDz = hyz_family(cfg, W, WD)
+    use_fused = _fused_transfer_wanted(cfg, dtype)
+    if use_fused:
+        from softmac_tpu.ops import pallas_fused as pf
+        ws6 = (W[0], WD[0], W[1], WD[1], W[2], WD[2])
+        wx = sizes[0]
+        Hyz = HyzDy = HyzDz = None
+    else:
+        Hyz, HyzDy, HyzDz = hyz_family(cfg, W, WD)
 
-    grid = _psum(p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse))
+    if use_fused:
+        chan = _p2g_channels(cfg, v, C, stress, impulse)
+        gm, gmom = lax.platform_dependent(
+            *ws6, chan, tpu=pf.p2g, default=pf._p2g_ref)
+        grid = (gm, gmom[:, :wx], gmom[:, wx:2 * wx], gmom[:, 2 * wx:])
+    else:
+        grid = p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
+    grid = _psum(grid)
 
     coords = grid_coords(cfg, sizes, corner)
     g_v, mask, grid_m = grid_normalize(cfg, grid, params.gravity)
 
     if cfg.collision_type == CONTACT_MIXED:
         grid_v_mixed = boundary_condition(cfg, coords, g_v)
-        v_tmp = gather_dense(cfg, W, Hyz, grid_v_mixed)
+        if use_fused:
+            vt = lax.platform_dependent(
+                W[0], W[1], W[2], jnp.concatenate(grid_v_mixed, axis=1),
+                tpu=pf.gather, default=pf._gather_ref)
+            v_tmp = (vt[0], vt[1], vt[2])
+        else:
+            v_tmp = gather_dense(cfg, W, Hyz, grid_v_mixed)
         life = 1.0 / (cfg.substeps - k)
         v_tgt, ext = cc.collide_cloth(
             cloth_params, cloth_x, cloth_v, x, v_tmp, cfg.p_mass, cfg.dt,
@@ -529,7 +613,15 @@ def substep_cloth(
 
         alpha = 2.0
         dv = m33.vsub(v_tmp, v_tgt)
-        corr = _psum(splat_channels(cfg, W, Hyz, [-alpha * dv[d] for d in range(3)]))
+        if use_fused:
+            cg = lax.platform_dependent(
+                W[0], W[1], W[2],
+                jnp.stack([-alpha * dv[d] for d in range(3)]),
+                tpu=pf.splat, default=pf._splat_ref)
+            corr = [cg[:, d * wx:(d + 1) * wx] for d in range(3)]
+        else:
+            corr = splat_channels(cfg, W, Hyz, [-alpha * dv[d] for d in range(3)])
+        corr = _psum(corr)
         grid_v_out = tuple(
             jnp.where(mask, grid_v_mixed[d] + corr[d], 0.0) for d in range(3))
     else:
@@ -537,7 +629,18 @@ def substep_cloth(
 
     grid_v_out = cfl_clamp(cfg, grid_v_out)
 
-    v_new, C_new, x_new = g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, grid_v_out, x)
+    if use_fused:
+        out16 = lax.platform_dependent(
+            *ws6, jnp.concatenate(grid_v_out, axis=1),
+            tpu=pf.g2p, default=pf._g2p_ref)
+        v_new = (out16[0], out16[1], out16[2])
+        s = 4.0 * cfg.inv_dx
+        C_new = tuple(tuple(s * out16[3 + 3 * d + j] for j in range(3))
+                      for d in range(3))
+        x_new = tuple(x[d] + cfg.dt * v_new[d] for d in range(3))
+    else:
+        v_new, C_new, x_new = g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz,
+                                        grid_v_out, x)
 
     new_state = MPMState(
         x=jnp.stack(x_new),
