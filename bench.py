@@ -15,6 +15,7 @@ accelerator cross-checked against the NumPy f64 oracle at f32 tolerance
 (the only non-CPU correctness execution in the repo — the pytest suite
 forces CPU).
 """
+import dataclasses
 import json
 import sys
 import time
@@ -71,6 +72,21 @@ def tpu_oracle_check():
 
     out = jax.block_until_ready(run(state))
 
+    # same program through the fused Pallas transfer kernels (an active
+    # window engages them; full-grid above runs the dense XLA path) — the
+    # only on-hardware correctness check the kernels get
+    cfg_w = dataclasses.replace(cfg, active_window=(24, 24, 24))
+
+    @jax.jit
+    def run_w(s):
+        def body(s, _):
+            s, _, _ = mpm.substep(cfg_w, params, (), s, bodies, 0)
+            return s, None
+        s, _ = jax.lax.scan(body, s, None, length=10)
+        return s
+
+    out_w = jax.block_until_ready(run_w(state))
+
     x, v, C, F = x0.copy(), np.zeros((n, 3)), np.zeros((n, 3, 3)), \
         np.tile(np.eye(3), (n, 1, 1))
     for _ in range(10):
@@ -81,8 +97,14 @@ def tpu_oracle_check():
 
     err_x = float(np.abs(np.asarray(out.x).T - x).max())
     err_v = float(np.abs(np.asarray(out.v).T - v).max())
-    ok = bool(err_x < 1e-5 and err_v < 1e-4)
-    return ok, {"err_x": err_x, "err_v": err_v}
+    # fused-kernel tolerance: bf16x3 dots (~1e-3 rel, the production XLA
+    # matmul precision class) vs the f64 oracle
+    err_x_w = float(np.abs(np.asarray(out_w.x).T - x).max())
+    err_v_w = float(np.abs(np.asarray(out_w.v).T - v).max())
+    ok = bool(err_x < 1e-5 and err_v < 1e-4
+              and err_x_w < 1e-4 and err_v_w < 2e-3)
+    return ok, {"err_x": err_x, "err_v": err_v,
+                "err_x_fused": err_x_w, "err_v_fused": err_v_w}
 
 
 def main():

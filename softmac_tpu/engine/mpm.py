@@ -434,7 +434,7 @@ def substep(
         grid_v_mixed = boundary_condition(cfg, coords, g_v)
         if use_fused:
             vt = lax.platform_dependent(
-                W[0], W[1], W[2], jnp.concatenate(grid_v_mixed, axis=1),
+                W[0], W[1], W[2], *grid_v_mixed,
                 tpu=pf.gather, default=pf._gather_ref)
             v_tmp = (vt[0], vt[1], vt[2])
         else:
@@ -493,7 +493,7 @@ def substep(
     # --- G2P + advection -----------------------------------------------------
     if use_fused:
         out16 = lax.platform_dependent(
-            *ws6, jnp.concatenate(grid_v_out, axis=1),
+            *ws6, *grid_v_out,
             tpu=pf.g2p, default=pf._g2p_ref)
         v_new = (out16[0], out16[1], out16[2])
         s = 4.0 * cfg.inv_dx
@@ -600,7 +600,7 @@ def substep_cloth(
         grid_v_mixed = boundary_condition(cfg, coords, g_v)
         if use_fused:
             vt = lax.platform_dependent(
-                W[0], W[1], W[2], jnp.concatenate(grid_v_mixed, axis=1),
+                W[0], W[1], W[2], *grid_v_mixed,
                 tpu=pf.gather, default=pf._gather_ref)
             v_tmp = (vt[0], vt[1], vt[2])
         else:
@@ -631,7 +631,7 @@ def substep_cloth(
 
     if use_fused:
         out16 = lax.platform_dependent(
-            *ws6, jnp.concatenate(grid_v_out, axis=1),
+            *ws6, *grid_v_out,
             tpu=pf.g2p, default=pf._g2p_ref)
         v_new = (out16[0], out16[1], out16[2])
         s = 4.0 * cfg.inv_dx

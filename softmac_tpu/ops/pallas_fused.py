@@ -46,39 +46,73 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-_TILE_N = 512
+# Particle-tile width. Each grid step carries ~4 us of fixed cost (DMA
+# latency + semaphores); at 1e5 particles, 512-wide tiles x 8 kernel calls
+# per substep spent ~6 ms/substep on that overhead alone. 1024 halves it;
+# kernels with many slab scratches pick a smaller local tile to stay under
+# the 16 MB scoped-vmem budget.
+_TILE_N = 1024
 _INTERPRET = False   # tests flip this to run the kernels on CPU
 
-# Mosaic only lowers DEFAULT and HIGHEST dot precisions; "high" (the
-# production bf16_3x setting for the XLA matmuls) maps to HIGHEST here —
-# in-kernel MXU passes are cheap relative to the HBM traffic these kernels
-# eliminate, and the f64-oracle comparison stays clean.
-_PRECISION = {
-    "default": lax.Precision.DEFAULT,
-    "high": lax.Precision.HIGHEST,
-    "highest": lax.Precision.HIGHEST,
-}[os.environ.get("SOFTMAC_TPU_MATMUL_PRECISION", "high")]
+# In-kernel dot precision. Mosaic only lowers DEFAULT (1 bf16 MXU pass)
+# and HIGHEST (6 passes); the production setting "high" (bf16_3x, what the
+# XLA matmuls use — see engine/mpm.py) is implemented MANUALLY below as the
+# classic 3-pass split a = hi + lo (hi = bf16(a), lo = bf16(a - hi)):
+#   a @ b = hi@bhi + hi@blo + lo@bhi   (lo@blo ~ 2^-16 relative, dropped)
+# which matches XLA HIGH bit-for-bit in structure and halves the MXU time
+# of HIGHEST. Env SOFTMAC_TPU_MATMUL_PRECISION selects the mode.
+_PRECISION_MODE = os.environ.get("SOFTMAC_TPU_MATMUL_PRECISION", "high")
+
+
+def _dg(a, b, dims, precision):
+    return lax.dot_general(a, b, (dims, ((), ())), precision=precision,
+                           preferred_element_type=jnp.float32)
+
+
+def _dot(a, b, dims):
+    if _PRECISION_MODE == "default":
+        return _dg(a, b, dims, lax.Precision.DEFAULT)
+    if _PRECISION_MODE == "highest":
+        return _dg(a, b, dims, lax.Precision.HIGHEST)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    p = lax.Precision.DEFAULT
+    return _dg(ah, bh, dims, p) + _dg(ah, bl, dims, p) + _dg(al, bh, dims, p)
 
 
 def _dot_t(a, b):
     """(A, T) x (B, T) -> (A, B), contracting the lane/tile axis."""
-    return lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                           precision=_PRECISION,
-                           preferred_element_type=jnp.float32)
+    return _dot(a, b, (((1,), (1,))))
 
 
 def _dot_rows(a, b):
     """(R, K) x (K, T) -> (R, T), contracting the inner axis."""
-    return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                           precision=_PRECISION,
-                           preferred_element_type=jnp.float32)
+    return _dot(a, b, (((1,), (0,))))
 
 
 def _dot00(a, b):
     """(R, A) x (R, B) -> (A, B), contracting axis 0."""
-    return lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                           precision=_PRECISION,
-                           preferred_element_type=jnp.float32)
+    return _dot(a, b, (((0,), (0,))))
+
+
+# XLA-side dots for the reference implementations (the platform_dependent
+# CPU branch and the test baseline): plain dot_general at the production
+# precision — XLA accepts HIGH everywhere, and on CPU it is exact f32.
+_PRECISION_XLA = {
+    "default": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}[_PRECISION_MODE]
+
+
+def _dot_t_ref(a, b):
+    return _dg(a, b, ((1,), (1,)), _PRECISION_XLA)
+
+
+def _dot_rows_ref(a, b):
+    return _dg(a, b, ((1,), (0,)), _PRECISION_XLA)
 
 
 # ---------------------------------------------------------------------------
@@ -123,19 +157,18 @@ def _p2g_ref(Wx, WxD, Wy, WDy, Wz, WDz, chan):
         [Wx * chan[5 + 3 * d][None, :] for d in range(3)], axis=0)
     r_dz = jnp.concatenate(
         [Wx * chan[6 + 3 * d][None, :] for d in range(3)], axis=0)
-    o1 = _dot_t(H, r_h)                                      # (wy*wz, 4*wx)
-    o2 = _dot_t(HDy, r_dy)                                   # (wy*wz, 3*wx)
-    o3 = _dot_t(HDz, r_dz)
+    o1 = _dot_t_ref(H, r_h)                                  # (wy*wz, 4*wx)
+    o2 = _dot_t_ref(HDy, r_dy)                               # (wy*wz, 3*wx)
+    o3 = _dot_t_ref(HDz, r_dz)
     gm = o1[:, :wx]
     gmom = o1[:, wx:] + o2 + o3
     return gm, gmom
 
 
-def _g2p_ref(Wx, WxD, Wy, WDy, Wz, WDz, gv):
-    """gv (wy*wz, 3*wx) = [gv_x | gv_y | gv_z]. Returns (16, N): rows
+def _g2p_ref(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2):
+    """gv0-2: (wy*wz, wx) grid velocity channels. Returns (16, N): rows
     [v0 v1 v2, m00..m22, 0 0 0 0] where m_dj are the UNSCALED C rows
     (multiply by 4*inv_dx outside)."""
-    wx = Wx.shape[0]
     wy, wz = Wy.shape[0], Wz.shape[0]
 
     def kr(a, b):
@@ -144,10 +177,9 @@ def _g2p_ref(Wx, WxD, Wy, WDy, Wz, WDz, gv):
     H, HDy, HDz = kr(Wy, Wz), kr(WDy, Wz), kr(Wy, WDz)
     rows = []
     m_rows = []
-    for d in range(3):
-        gvd = gv[:, d * wx:(d + 1) * wx]
-        A = _dot_rows(gvd, Wx)          # (wy*wz, N)  hmm — see kernel note
-        B = _dot_rows(gvd, WxD)
+    for gvd in (gv0, gv1, gv2):
+        A = _dot_rows_ref(gvd, Wx)      # (wy*wz, N)
+        B = _dot_rows_ref(gvd, WxD)
         rows.append(jnp.sum(H * A, axis=0))
         m_rows.append([jnp.sum(H * B, axis=0),
                        jnp.sum(HDy * A, axis=0),
@@ -164,17 +196,16 @@ def _splat_ref(Wx, Wy, Wz, vals):
     wy, wz = Wy.shape[0], Wz.shape[0]
     H = (Wy[:, None, :] * Wz[None, :, :]).reshape(wy * wz, -1)
     r = jnp.concatenate([Wx * vals[d][None, :] for d in range(3)], axis=0)
-    return _dot_t(H, r)
+    return _dot_t_ref(H, r)
 
 
-def _gather_ref(Wx, Wy, Wz, gv):
-    """gv (wy*wz, 3*wx) -> (3, N) interpolated velocity (grid_op_mixed2)."""
-    wx = Wx.shape[0]
+def _gather_ref(Wx, Wy, Wz, gv0, gv1, gv2):
+    """gv0-2 (wy*wz, wx) -> (3, N) interpolated velocity (grid_op_mixed2)."""
     wy, wz = Wy.shape[0], Wz.shape[0]
     H = (Wy[:, None, :] * Wz[None, :, :]).reshape(wy * wz, -1)
     rows = []
-    for d in range(3):
-        A = _dot_rows(gv[:, d * wx:(d + 1) * wx], Wx)
+    for gvd in (gv0, gv1, gv2):
+        A = _dot_rows_ref(gvd, Wx)
         rows.append(jnp.sum(H * A, axis=0))
     return jnp.stack(rows)
 
@@ -222,12 +253,12 @@ def _p2g_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref, chan_ref,
     o3_ref[:] += _dot_t(h_ref[:], r_ref[0:3 * wx, :])
 
 
-def _g2p_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref, gv_ref,
+def _g2p_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
+                gv0_ref, gv1_ref, gv2_ref,
                 out_ref, h_ref, hdy_ref, hdz_ref):
     Wx, WxD = wx_ref[:], wxd_ref[:]
     Wy, WDy = wy_ref[:], wdy_ref[:]
     Wz, WDz = wz_ref[:], wdz_ref[:]
-    wx = Wx.shape[0]
     n_y, n_z = Wy.shape[0], Wz.shape[0]
 
     for y in range(n_y):
@@ -236,14 +267,20 @@ def _g2p_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref, gv_ref,
         hdz_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * WDz
     H, HDy, HDz = h_ref[:], hdy_ref[:], hdz_ref[:]
 
-    for d in range(3):
-        gvd = gv_ref[:, d * wx:(d + 1) * wx]      # (wy*wz, wx)
-        A = _dot_rows(gvd, Wx)                    # (wy*wz, T)
-        B = _dot_rows(gvd, WxD)
-        out_ref[d:d + 1, :] = jnp.sum(H * A, axis=0, keepdims=True)
-        out_ref[3 + 3 * d:4 + 3 * d, :] = jnp.sum(H * B, 0, keepdims=True)
-        out_ref[4 + 3 * d:5 + 3 * d, :] = jnp.sum(HDy * A, 0, keepdims=True)
-        out_ref[5 + 3 * d:6 + 3 * d, :] = jnp.sum(HDz * A, 0, keepdims=True)
+    # M-matrix formulation: contract the 512-row H axis on the MXU
+    # (M_d = gvd^T-contract-H, (wx, T)), then reduce over only wx=40
+    # sublanes on the VPU. A sum over the (wy*wz, T) slab itself costs
+    # ~13x the vector instructions. Identity: sum_r H[r,t]*B_d[r,t]
+    # = sum_x WxD[x,t]*M_d[x,t], so the WxD channel reuses M_d.
+    for d, gvd_ref in enumerate((gv0_ref, gv1_ref, gv2_ref)):
+        gvd = gvd_ref[:]                          # (wy*wz, wx)
+        M = _dot00(gvd, H)                        # (wx, T)
+        MDy = _dot00(gvd, HDy)
+        MDz = _dot00(gvd, HDz)
+        out_ref[d:d + 1, :] = jnp.sum(Wx * M, axis=0, keepdims=True)
+        out_ref[3 + 3 * d:4 + 3 * d, :] = jnp.sum(WxD * M, 0, keepdims=True)
+        out_ref[4 + 3 * d:5 + 3 * d, :] = jnp.sum(Wx * MDy, 0, keepdims=True)
+        out_ref[5 + 3 * d:6 + 3 * d, :] = jnp.sum(Wx * MDz, 0, keepdims=True)
     out_ref[12:16, :] = jnp.zeros_like(out_ref[12:16, :])
 
 
@@ -341,21 +378,23 @@ def _p2g_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
 
 
 def _g2p_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
-                    gv_ref, g_ref,
+                    gv0_ref, gv1_ref, gv2_ref, g_ref,
                     dwx_ref, dwxd_ref, dwy_ref, dwdy_ref, dwz_ref, dwdz_ref,
-                    dgv_ref, h_ref, hdy_ref, hdz_ref,
-                    dh_ref, dhdy_ref, dhdz_ref, a_ref, b_ref):
+                    dgv0_ref, dgv1_ref, dgv2_ref,
+                    h_ref, hdy_ref, hdz_ref,
+                    dh_ref, dhdy_ref, dhdz_ref, a_ref):
     """VJP of _g2p_kernel. g (16, T) = cotangents of [v(3), m_dj(9), pad].
     H slabs and their cotangent slabs live only in VMEM scratch."""
     @pl.when(pl.program_id(0) == 0)
     def _():
-        dgv_ref[:] = jnp.zeros_like(dgv_ref)
+        dgv0_ref[:] = jnp.zeros_like(dgv0_ref)
+        dgv1_ref[:] = jnp.zeros_like(dgv1_ref)
+        dgv2_ref[:] = jnp.zeros_like(dgv2_ref)
 
     Wx, WxD = wx_ref[:], wxd_ref[:]
     Wy, WDy = wy_ref[:], wdy_ref[:]
     Wz, WDz = wz_ref[:], wdz_ref[:]
     g = g_ref[:]
-    wx = Wx.shape[0]
     n_y, n_z = Wy.shape[0], Wz.shape[0]
 
     for y in range(n_y):
@@ -369,26 +408,30 @@ def _g2p_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
     dh_ref[:] = jnp.zeros_like(dh_ref)
     dhdy_ref[:] = jnp.zeros_like(dhdy_ref)
     dhdz_ref[:] = jnp.zeros_like(dhdz_ref)
-    for d in range(3):
-        gvd = gv_ref[:, d * wx:(d + 1) * wx]
+    for d, (gvd_ref, dgvd_ref) in enumerate(
+            ((gv0_ref, dgv0_ref), (gv1_ref, dgv1_ref), (gv2_ref, dgv2_ref))):
+        gvd = gvd_ref[:]
         dv = g[d:d + 1, :]
         dm0 = g[3 + 3 * d:4 + 3 * d, :]
         dm1 = g[4 + 3 * d:5 + 3 * d, :]
         dm2 = g[5 + 3 * d:6 + 3 * d, :]
-        # temporaries routed through reused scratch slabs (a_ref/b_ref) —
-        # per-iteration stack values here blow the 16 MB VMEM budget
-        a_ref[:] = _dot_rows(gvd, Wx)             # A, recomputed (wy*wz, T)
+        # dA/dB never materialize: their contractions against gvd reduce to
+        # the small M matrices (dot00 over the 512 H rows, MXU), and their
+        # contractions against Wx/WxD become dot_t(H-variant, small rhs)
+        M = _dot00(gvd, H)                        # (wx, T)
+        MDy = _dot00(gvd, HDy)
+        MDz = _dot00(gvd, HDz)
+        dwx = dwx + dv * M + dm1 * MDy + dm2 * MDz
+        dwxd = dwxd + dm0 * M
+        dgvd_ref[:] += (_dot_t(H, Wx * dv + WxD * dm0)
+                        + _dot_t(HDy, Wx * dm1)
+                        + _dot_t(HDz, Wx * dm2))
+        a_ref[:] = _dot_rows(gvd, Wx)             # A slab (dH cotangent path)
         dh_ref[:] += a_ref[:] * dv
         dhdy_ref[:] += a_ref[:] * dm1
         dhdz_ref[:] += a_ref[:] * dm2
-        b_ref[:] = H * dv + HDy * dm1 + HDz * dm2          # dA
-        dwx = dwx + _dot00(gvd, b_ref[:])
-        dgv_ref[:, d * wx:(d + 1) * wx] += _dot_t(b_ref[:], Wx)
-        a_ref[:] = _dot_rows(gvd, WxD)            # B
+        a_ref[:] = _dot_rows(gvd, WxD)            # B slab
         dh_ref[:] += a_ref[:] * dm0
-        b_ref[:] = H * dm0                        # dB
-        dwxd = dwxd + _dot00(gvd, b_ref[:])
-        dgv_ref[:, d * wx:(d + 1) * wx] += _dot_t(b_ref[:], WxD)
     dwx_ref[:] = dwx
     dwxd_ref[:] = dwxd
 
@@ -423,27 +466,26 @@ def _splat_kernel(wx_ref, wy_ref, wz_ref, vals_ref, out_ref, h_ref, r_ref):
     out_ref[:] += _dot_t(h_ref[:], r_ref[:])
 
 
-def _gather_kernel(wx_ref, wy_ref, wz_ref, gv_ref, out_ref, h_ref):
+def _gather_kernel(wx_ref, wy_ref, wz_ref, gv0_ref, gv1_ref, gv2_ref,
+                   out_ref, h_ref):
     Wx, Wy, Wz = wx_ref[:], wy_ref[:], wz_ref[:]
-    wx = Wx.shape[0]
     n_y, n_z = Wy.shape[0], Wz.shape[0]
     for y in range(n_y):
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * Wz
     H = h_ref[:]
-    for d in range(3):
-        A = _dot_rows(gv_ref[:, d * wx:(d + 1) * wx], Wx)
-        out_ref[d:d + 1, :] = jnp.sum(H * A, axis=0, keepdims=True)
+    for d, gvd_ref in enumerate((gv0_ref, gv1_ref, gv2_ref)):
+        M = _dot00(gvd_ref[:], H)                 # (wx, T) — see _g2p_kernel
+        out_ref[d:d + 1, :] = jnp.sum(Wx * M, axis=0, keepdims=True)
     out_ref[3:8, :] = jnp.zeros_like(out_ref[3:8, :])
 
 
-def _splat_bwd_kernel(wx_ref, wy_ref, wz_ref, vals_ref, dout_ref,
+def _splat_bwd_kernel(wx_ref, wy_ref, wz_ref, vals_ref,
+                      dout0_ref, dout1_ref, dout2_ref,
                       dwx_ref, dwy_ref, dwz_ref, dvals_ref,
                       h_ref, a_ref, dh_ref):
-    """VJP of _splat_kernel. dout (wy*wz, 3*wx)."""
+    """VJP of _splat_kernel. dout0-2: (wy*wz, wx) per channel."""
     Wx, Wy, Wz = wx_ref[:], wy_ref[:], wz_ref[:]
     vals = vals_ref[:]
-    dout = dout_ref[:]
-    wx = Wx.shape[0]
     n_y, n_z = Wy.shape[0], Wz.shape[0]
 
     for y in range(n_y):
@@ -452,12 +494,13 @@ def _splat_bwd_kernel(wx_ref, wy_ref, wz_ref, vals_ref, dout_ref,
 
     dwx = jnp.zeros_like(Wx)
     dh_ref[:] = jnp.zeros_like(dh_ref)
-    for d in range(3):
-        doutd = dout[:, d * wx:(d + 1) * wx]
-        a_ref[:] = _dot_rows(doutd, Wx)           # (wy*wz, T)
-        dvals_ref[d:d + 1, :] = jnp.sum(H * a_ref[:], 0, keepdims=True)
+    for d, doutd_ref in enumerate((dout0_ref, dout1_ref, dout2_ref)):
+        doutd = doutd_ref[:]
+        N = _dot00(doutd, H)                      # (wx, T), shared
+        dvals_ref[d:d + 1, :] = jnp.sum(Wx * N, 0, keepdims=True)
+        dwx = dwx + vals[d:d + 1, :] * N
+        a_ref[:] = _dot_rows(doutd, Wx)           # A' slab (dH path)
         dh_ref[:] += a_ref[:] * vals[d:d + 1, :]
-        dwx = dwx + vals[d:d + 1, :] * _dot00(doutd, H)
     dwx_ref[:] = dwx
     dvals_ref[3:8, :] = jnp.zeros_like(dvals_ref[3:8, :])
 
@@ -469,17 +512,20 @@ def _splat_bwd_kernel(wx_ref, wy_ref, wz_ref, vals_ref, dout_ref,
     dwz_ref[:] = dwz
 
 
-def _gather_bwd_kernel(wx_ref, wy_ref, wz_ref, gv_ref, dv_ref,
-                       dwx_ref, dwy_ref, dwz_ref, dgv_ref,
+def _gather_bwd_kernel(wx_ref, wy_ref, wz_ref, gv0_ref, gv1_ref, gv2_ref,
+                       dv_ref,
+                       dwx_ref, dwy_ref, dwz_ref,
+                       dgv0_ref, dgv1_ref, dgv2_ref,
                        h_ref, a_ref, dh_ref):
     """VJP of _gather_kernel. dv (8, T), rows 0-2 used."""
     @pl.when(pl.program_id(0) == 0)
     def _():
-        dgv_ref[:] = jnp.zeros_like(dgv_ref)
+        dgv0_ref[:] = jnp.zeros_like(dgv0_ref)
+        dgv1_ref[:] = jnp.zeros_like(dgv1_ref)
+        dgv2_ref[:] = jnp.zeros_like(dgv2_ref)
 
     Wx, Wy, Wz = wx_ref[:], wy_ref[:], wz_ref[:]
     dv = dv_ref[:]
-    wx = Wx.shape[0]
     n_y, n_z = Wy.shape[0], Wz.shape[0]
 
     for y in range(n_y):
@@ -488,13 +534,14 @@ def _gather_bwd_kernel(wx_ref, wy_ref, wz_ref, gv_ref, dv_ref,
 
     dwx = jnp.zeros_like(Wx)
     dh_ref[:] = jnp.zeros_like(dh_ref)
-    for d in range(3):
-        gvd = gv_ref[:, d * wx:(d + 1) * wx]
-        a_ref[:] = H * dv[d:d + 1, :]             # dA_d
-        dgv_ref[:, d * wx:(d + 1) * wx] += _dot_t(a_ref[:], Wx)
-        dwx = dwx + _dot00(gvd, a_ref[:])
-        a_ref[:] = _dot_rows(gvd, Wx)             # A_d (recompute)
-        dh_ref[:] += a_ref[:] * dv[d:d + 1, :]
+    for d, (gvd_ref, dgvd_ref) in enumerate(
+            ((gv0_ref, dgv0_ref), (gv1_ref, dgv1_ref), (gv2_ref, dgv2_ref))):
+        gvd = gvd_ref[:]
+        dvd = dv[d:d + 1, :]
+        dgvd_ref[:] += _dot_t(H, Wx * dvd)        # dA_d = H*dv_d, folded
+        dwx = dwx + dvd * _dot00(gvd, H)
+        a_ref[:] = _dot_rows(gvd, Wx)             # A_d slab (dH path)
+        dh_ref[:] += a_ref[:] * dvd
     dwx_ref[:] = dwx
 
     dwz = jnp.zeros_like(Wz)
@@ -544,7 +591,7 @@ def _p2g_pallas(Wx, WxD, Wy, WDy, Wz, WDz, chan):
     return gm, gmom
 
 
-def _g2p_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv):
+def _g2p_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
     (Wx, WxD, Wy, WDy, Wz, WDz), n_pad = _pad_tiles(
@@ -554,12 +601,13 @@ def _g2p_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv):
         return pl.BlockSpec((rows, _TILE_N), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
+    gspec = pl.BlockSpec((wy * wz, wx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _g2p_kernel,
         grid=(n_pad // _TILE_N,),
         in_specs=[spec(wx), spec(wx), spec(wy), spec(wy), spec(wz), spec(wz),
-                  pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
+                  gspec, gspec, gspec],
         out_specs=pl.BlockSpec((16, _TILE_N), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
@@ -567,7 +615,7 @@ def _g2p_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv):
                         pltpu.VMEM((wy * wz, _TILE_N), jnp.float32),
                         pltpu.VMEM((wy * wz, _TILE_N), jnp.float32)],
         interpret=_INTERPRET,
-    )(Wx, WxD, Wy, WDy, Wz, WDz, gv)
+    )(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2)
     return out[:, :n]
 
 
@@ -595,7 +643,7 @@ def _splat_pallas(Wx, Wy, Wz, vals):
     return out
 
 
-def _gather_pallas(Wx, Wy, Wz, gv):
+def _gather_pallas(Wx, Wy, Wz, gv0, gv1, gv2):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
     (Wx, Wy, Wz), n_pad = _pad_tiles([Wx, Wy, Wz], n)
@@ -604,18 +652,18 @@ def _gather_pallas(Wx, Wy, Wz, gv):
         return pl.BlockSpec((rows, _TILE_N), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
+    gspec = pl.BlockSpec((wy * wz, wx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _gather_kernel,
         grid=(n_pad // _TILE_N,),
-        in_specs=[spec(wx), spec(wy), spec(wz),
-                  pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[spec(wx), spec(wy), spec(wz), gspec, gspec, gspec],
         out_specs=pl.BlockSpec((8, _TILE_N), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((wy * wz, _TILE_N), jnp.float32)],
         interpret=_INTERPRET,
-    )(Wx, Wy, Wz, gv)
+    )(Wx, Wy, Wz, gv0, gv1, gv2)
     return out[0:3, :n]
 
 
@@ -652,12 +700,12 @@ def _p2g_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, chan, dgm, dgmom):
     return tuple(o[:, :n] for o in outs)
 
 
-def _g2p_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv, g):
+def _g2p_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2, g):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
-    # 8 VMEM slab scratches: tile 256 keeps the kernel under the 16 MB
-    # scoped-vmem budget (tile 512 OOMs at 25.5 MB)
-    tile = 256
+    # 7 VMEM slab scratches at tile 512 ~ 7 MB, inside the 16 MB scoped-vmem
+    # budget now that dA/dB temporaries reduce to small M matrices
+    tile = 512
     (Wx, WxD, Wy, WDy, Wz, WDz, g), n_pad = _pad_tiles(
         [Wx, WxD, Wy, WDy, Wz, WDz, g], n, tile)
 
@@ -668,24 +716,24 @@ def _g2p_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv, g):
     def out(rows):
         return jax.ShapeDtypeStruct((rows, n_pad), jnp.float32)
 
+    gspec = pl.BlockSpec((wy * wz, wx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    gshape = jax.ShapeDtypeStruct((wy * wz, wx), jnp.float32)
     slab = pltpu.VMEM((wy * wz, tile), jnp.float32)
     outs = pl.pallas_call(
         _g2p_bwd_kernel,
         grid=(n_pad // tile,),
         in_specs=[spec(wx), spec(wx), spec(wy), spec(wy), spec(wz), spec(wz),
-                  pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  spec(16)],
+                  gspec, gspec, gspec, spec(16)],
         out_specs=[spec(wx), spec(wx), spec(wy), spec(wy), spec(wz), spec(wz),
-                   pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)],
+                   gspec, gspec, gspec],
         out_shape=[out(wx), out(wx), out(wy), out(wy), out(wz), out(wz),
-                   jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32)],
-        scratch_shapes=[slab] * 8,
+                   gshape, gshape, gshape],
+        scratch_shapes=[slab] * 7,
         interpret=_INTERPRET,
-    )(Wx, WxD, Wy, WDy, Wz, WDz, gv, g)
+    )(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2, g)
     dws = tuple(o[:, :n] for o in outs[:6])
-    return dws + (outs[6],)
+    return dws + (outs[6], outs[7], outs[8])
 
 
 def _splat_bwd_pallas(Wx, Wy, Wz, vals, dout):
@@ -693,6 +741,7 @@ def _splat_bwd_pallas(Wx, Wy, Wz, vals, dout):
     wy, wz = Wy.shape[0], Wz.shape[0]
     vals8 = jnp.concatenate([vals, jnp.zeros((5, n), vals.dtype)], axis=0)
     (Wx, Wy, Wz, vals8), n_pad = _pad_tiles([Wx, Wy, Wz, vals8], n)
+    douts = [dout[:, d * wx:(d + 1) * wx] for d in range(3)]
 
     def spec(rows):
         return pl.BlockSpec((rows, _TILE_N), lambda i: (0, i),
@@ -701,22 +750,23 @@ def _splat_bwd_pallas(Wx, Wy, Wz, vals, dout):
     def out(rows):
         return jax.ShapeDtypeStruct((rows, n_pad), jnp.float32)
 
+    gspec = pl.BlockSpec((wy * wz, wx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     slab = pltpu.VMEM((wy * wz, _TILE_N), jnp.float32)
     dwx, dwy, dwz, dvals = pl.pallas_call(
         _splat_bwd_kernel,
         grid=(n_pad // _TILE_N,),
         in_specs=[spec(wx), spec(wy), spec(wz), spec(8),
-                  pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
+                  gspec, gspec, gspec],
         out_specs=[spec(wx), spec(wy), spec(wz), spec(8)],
         out_shape=[out(wx), out(wy), out(wz), out(8)],
         scratch_shapes=[slab, slab, slab],
         interpret=_INTERPRET,
-    )(Wx, Wy, Wz, vals8, dout)
+    )(Wx, Wy, Wz, vals8, *douts)
     return (dwx[:, :n], dwy[:, :n], dwz[:, :n], dvals[0:3, :n])
 
 
-def _gather_bwd_pallas(Wx, Wy, Wz, gv, dv):
+def _gather_bwd_pallas(Wx, Wy, Wz, gv0, gv1, gv2, dv):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
     dv8 = jnp.concatenate([dv, jnp.zeros((5, n), dv.dtype)], axis=0)
@@ -729,23 +779,21 @@ def _gather_bwd_pallas(Wx, Wy, Wz, gv, dv):
     def out(rows):
         return jax.ShapeDtypeStruct((rows, n_pad), jnp.float32)
 
+    gspec = pl.BlockSpec((wy * wz, wx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    gshape = jax.ShapeDtypeStruct((wy * wz, wx), jnp.float32)
     slab = pltpu.VMEM((wy * wz, _TILE_N), jnp.float32)
-    dwx, dwy, dwz, dgv = pl.pallas_call(
+    dwx, dwy, dwz, dgv0, dgv1, dgv2 = pl.pallas_call(
         _gather_bwd_kernel,
         grid=(n_pad // _TILE_N,),
-        in_specs=[spec(wx), spec(wy), spec(wz),
-                  pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[spec(wx), spec(wy), spec(wz), gspec, gspec, gspec,
                   spec(8)],
-        out_specs=[spec(wx), spec(wy), spec(wz),
-                   pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[out(wx), out(wy), out(wz),
-                   jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32)],
+        out_specs=[spec(wx), spec(wy), spec(wz), gspec, gspec, gspec],
+        out_shape=[out(wx), out(wy), out(wz), gshape, gshape, gshape],
         scratch_shapes=[slab, slab, slab],
         interpret=_INTERPRET,
-    )(Wx, Wy, Wz, gv, dv8)
-    return (dwx[:, :n], dwy[:, :n], dwz[:, :n], dgv)
+    )(Wx, Wy, Wz, gv0, gv1, gv2, dv8)
+    return (dwx[:, :n], dwy[:, :n], dwz[:, :n], dgv0, dgv1, dgv2)
 
 
 # ---------------------------------------------------------------------------
@@ -773,9 +821,9 @@ p2g.defvjp(_p2g_fwd, _p2g_bwd)
 
 
 @jax.custom_vjp
-def g2p(Wx, WxD, Wy, WDy, Wz, WDz, gv):
+def g2p(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2):
     """Fused G2P: (16, N) particle rows [v(3), m_dj(9), pad(4)]."""
-    return _g2p_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv)
+    return _g2p_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2)
 
 
 def _g2p_fwd(*args):
@@ -808,9 +856,9 @@ splat.defvjp(_splat_fwd, _splat_bwd)
 
 
 @jax.custom_vjp
-def gather(Wx, Wy, Wz, gv):
-    """Fused velocity gather: gv (wy*wz, 3*wx) -> (3, N)."""
-    return _gather_pallas(Wx, Wy, Wz, gv)
+def gather(Wx, Wy, Wz, gv0, gv1, gv2):
+    """Fused velocity gather: 3 grid channels (wy*wz, wx) -> (3, N)."""
+    return _gather_pallas(Wx, Wy, Wz, gv0, gv1, gv2)
 
 
 def _gather_fwd(*args):
@@ -818,8 +866,7 @@ def _gather_fwd(*args):
 
 
 def _gather_bwd(res, g):
-    Wx, Wy, Wz, gv = res
-    return _gather_bwd_pallas(Wx, Wy, Wz, gv, g)
+    return _gather_bwd_pallas(*res, g)
 
 
 gather.defvjp(_gather_fwd, _gather_bwd)

@@ -1,6 +1,10 @@
 """Fused transfer kernels (ops/pallas_fused.py) vs the production dense
 path, in Pallas interpret mode on CPU.
 
+Tolerances are set for the kernels' manual bf16x3 dot decomposition
+(~1e-3 relative worst case) — the same precision class as the production
+XLA matmuls (Precision.HIGH) — compared against the exact-f32 CPU math.
+
 The fused kernels must reproduce mpm.p2g_dense / g2p_dense (which the f64
 oracle validates) to f32 roundoff, and their custom VJPs must match
 autodiff of the dense path.
@@ -57,10 +61,10 @@ def test_p2g_matches_dense(monkeypatch):
     ws, chan = _fused_inputs(cfg, W, WD, v, C, stress, impulse)
     gm, gmom = pallas_fused.p2g(*ws, chan)
     wx = W[0].shape[0]
-    np.testing.assert_allclose(gm, ref[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(gm, ref[0], rtol=2e-3, atol=2e-3)
     for d in range(3):
         np.testing.assert_allclose(gmom[:, d * wx:(d + 1) * wx], ref[1 + d],
-                                   rtol=2e-5, atol=2e-5)
+                                   rtol=2e-3, atol=2e-3)
 
 
 def test_g2p_matches_dense(monkeypatch):
@@ -77,13 +81,13 @@ def test_g2p_matches_dense(monkeypatch):
                                         x_vec)
 
     ws = (W[0], WD[0], W[1], WD[1], W[2], WD[2])
-    out = pallas_fused.g2p(*ws, jnp.concatenate(gv, axis=1))
+    out = pallas_fused.g2p(*ws, *gv)
     scale = 4.0 * cfg.inv_dx
     for d in range(3):
-        np.testing.assert_allclose(out[d], v_ref[d], rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(out[d], v_ref[d], rtol=2e-3, atol=2e-3)
         for j in range(3):
             np.testing.assert_allclose(scale * out[3 + 3 * d + j],
-                                       C_ref[d][j], rtol=2e-5, atol=3e-5)
+                                       C_ref[d][j], rtol=2e-3, atol=3e-3)
 
 
 def test_gather_splat_match_dense(monkeypatch):
@@ -96,9 +100,9 @@ def test_gather_splat_match_dense(monkeypatch):
     Hyz, _, _ = mpm.hyz_family(cfg, W, WD)
 
     v_ref = mpm.gather_dense(cfg, W, Hyz, gv)
-    got = pallas_fused.gather(W[0], W[1], W[2], jnp.concatenate(gv, axis=1))
+    got = pallas_fused.gather(W[0], W[1], W[2], *gv)
     for d in range(3):
-        np.testing.assert_allclose(got[d], v_ref[d], rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(got[d], v_ref[d], rtol=2e-3, atol=2e-3)
 
     vals = [jnp.asarray(rng.standard_normal(cfg.n_particles), jnp.float32)
             for _ in range(3)]
@@ -106,22 +110,22 @@ def test_gather_splat_match_dense(monkeypatch):
     got = pallas_fused.splat(W[0], W[1], W[2], jnp.stack(vals))
     for d in range(3):
         np.testing.assert_allclose(got[:, d * wx:(d + 1) * wx], s_ref[d],
-                                   rtol=2e-5, atol=2e-5)
+                                   rtol=2e-3, atol=2e-3)
 
     # grads vs the reference impls
     pg = jnp.asarray(rng.standard_normal((3, cfg.n_particles)), jnp.float32)
-    args = (W[0], W[1], W[2], jnp.concatenate(gv, axis=1))
+    args = (W[0], W[1], W[2]) + gv
     g_f = jax.grad(lambda a: jnp.sum(pallas_fused.gather(*a) * pg))(args)
     g_r = jax.grad(lambda a: jnp.sum(pallas_fused._gather_ref(*a) * pg))(args)
     for a, b in zip(g_f, g_r):
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
 
     ps = jnp.asarray(rng.standard_normal((wy * wz, 3 * wx)), jnp.float32)
     args = (W[0], W[1], W[2], jnp.stack(vals))
     g_f = jax.grad(lambda a: jnp.sum(pallas_fused.splat(*a) * ps))(args)
     g_r = jax.grad(lambda a: jnp.sum(pallas_fused._splat_ref(*a) * ps))(args)
     for a, b in zip(g_f, g_r):
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
 
 
 def test_substep_fused_route_matches_dense(monkeypatch):
@@ -185,7 +189,7 @@ def test_p2g_grad_matches_dense(monkeypatch):
     g_fused = jax.grad(loss_fused)(args)
     g_ref = jax.grad(loss_ref)(args)
     for a, b in zip(g_fused, g_ref):
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
 
 
 def test_g2p_grad_matches_dense(monkeypatch):
@@ -194,7 +198,8 @@ def test_g2p_grad_matches_dense(monkeypatch):
     ws = (W[0], WD[0], W[1], WD[1], W[2], WD[2])
     rng = np.random.default_rng(6)
     wx, wy, wz = 40, 32, 16
-    gv = jnp.asarray(rng.standard_normal((wy * wz, 3 * wx)), jnp.float32)
+    gv = tuple(jnp.asarray(rng.standard_normal((wy * wz, wx)), jnp.float32)
+               for _ in range(3))
     pg = jnp.asarray(rng.standard_normal((16, 300)), jnp.float32)
 
     def loss_fused(args):
@@ -203,8 +208,8 @@ def test_g2p_grad_matches_dense(monkeypatch):
     def loss_ref(args):
         return jnp.sum(pallas_fused._g2p_ref(*args) * pg)
 
-    args = ws + (gv,)
+    args = ws + gv
     g_fused = jax.grad(loss_fused)(args)
     g_ref = jax.grad(loss_ref)(args)
     for a, b in zip(g_fused, g_ref):
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
