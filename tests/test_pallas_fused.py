@@ -22,10 +22,10 @@ pytestmark = pytest.mark.skipif(not pallas_fused._HAS_PALLAS,
                                 reason="pallas unavailable")
 
 
-def _setup(n=700, seed=0):
+def _setup(n=700, seed=0, window=(40, 32, 16)):
     rng = np.random.default_rng(seed)
     cfg = MPMConfig(n_particles=n, n_grid=64, dt=1e-4,
-                    substeps=19, active_window=(40, 32, 16))
+                    substeps=19, active_window=window)
     x = (0.25 + 0.5 * rng.random((3, n))).astype(np.float32)
     x_vec = tuple(jnp.asarray(x[d]) for d in range(3))
     sizes, corner, _ = mpm.window_geometry(cfg, x_vec)
@@ -126,6 +126,36 @@ def test_gather_splat_match_dense(monkeypatch):
     g_r = jax.grad(lambda a: jnp.sum(pallas_fused._splat_ref(*a) * ps))(args)
     for a, b in zip(g_f, g_r):
         np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+
+@pytest.mark.parametrize("window", [(32, 16, 32), (48, 24, 48)])
+def test_other_window_geometries(monkeypatch, window):
+    """Door (32,16,32) and taco (48,24,48) window shapes through p2g and
+    g2p — the kernels must be shape-generic across every demo config."""
+    monkeypatch.setattr(pallas_fused, "_INTERPRET", True)
+    cfg, W, WD, v, C, stress, impulse = _setup(n=500, seed=11, window=window)
+    wx, wy, wz = window
+    Hyz, HyzDy, HyzDz = mpm.hyz_family(cfg, W, WD)
+
+    ref = mpm.p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
+    ws, chan = _fused_inputs(cfg, W, WD, v, C, stress, impulse)
+    gm, gmom = pallas_fused.p2g(*ws, chan)
+    np.testing.assert_allclose(gm, ref[0], rtol=2e-3, atol=2e-3)
+    for d in range(3):
+        np.testing.assert_allclose(gmom[:, d * wx:(d + 1) * wx], ref[1 + d],
+                                   rtol=2e-3, atol=2e-3)
+
+    rng = np.random.default_rng(12)
+    gv = tuple(jnp.asarray(rng.standard_normal((wy * wz, wx)), jnp.float32)
+               for _ in range(3))
+    v_ref, C_ref, _ = mpm.g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, gv, v)
+    out = pallas_fused.g2p(*ws, *gv)
+    scale = 4.0 * cfg.inv_dx
+    for d in range(3):
+        np.testing.assert_allclose(out[d], v_ref[d], rtol=2e-3, atol=2e-3)
+        for j in range(3):
+            np.testing.assert_allclose(scale * out[3 + 3 * d + j],
+                                       C_ref[d][j], rtol=2e-3, atol=3e-3)
 
 
 def test_substep_fused_route_matches_dense(monkeypatch):
