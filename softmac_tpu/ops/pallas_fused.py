@@ -254,11 +254,11 @@ def _p2g_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref, chan_ref,
 
 
 def _g2p_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
-                gv0_ref, gv1_ref, gv2_ref,
-                out_ref, h_ref, hdy_ref, hdz_ref):
+                gvp_ref, out_ref, h_ref, hdy_ref, hdz_ref):
     Wx, WxD = wx_ref[:], wxd_ref[:]
     Wy, WDy = wy_ref[:], wdy_ref[:]
     Wz, WDz = wz_ref[:], wdz_ref[:]
+    wx = Wx.shape[0]
     n_y, n_z = Wy.shape[0], Wz.shape[0]
 
     for y in range(n_y):
@@ -267,16 +267,20 @@ def _g2p_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
         hdz_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * WDz
     H, HDy, HDz = h_ref[:], hdy_ref[:], hdz_ref[:]
 
-    # M-matrix formulation: contract the 512-row H axis on the MXU
-    # (M_d = gvd^T-contract-H, (wx, T)), then reduce over only wx=40
-    # sublanes on the VPU. A sum over the (wy*wz, T) slab itself costs
-    # ~13x the vector instructions. Identity: sum_r H[r,t]*B_d[r,t]
+    # M-matrix formulation: contract the 512-row H axis on the MXU with the
+    # PACKED (wy*wz, 3*wx) grid so all three channels ride one 120-wide dot
+    # (a 40-wide dot uses 1/3 of the MXU), then reduce over only wx=40
+    # sublanes on the VPU. A sum over the (wy*wz, T) slab itself costs ~13x
+    # the vector instructions. Identity: sum_r H[r,t]*B_d[r,t]
     # = sum_x WxD[x,t]*M_d[x,t], so the WxD channel reuses M_d.
-    for d, gvd_ref in enumerate((gv0_ref, gv1_ref, gv2_ref)):
-        gvd = gvd_ref[:]                          # (wy*wz, wx)
-        M = _dot00(gvd, H)                        # (wx, T)
-        MDy = _dot00(gvd, HDy)
-        MDz = _dot00(gvd, HDz)
+    gvp = gvp_ref[:]
+    M_all = _dot00(gvp, H)                        # (3*wx, T)
+    MDy_all = _dot00(gvp, HDy)
+    MDz_all = _dot00(gvp, HDz)
+    for d in range(3):
+        M = M_all[d * wx:(d + 1) * wx]            # sublane slice, cheap
+        MDy = MDy_all[d * wx:(d + 1) * wx]
+        MDz = MDz_all[d * wx:(d + 1) * wx]
         out_ref[d:d + 1, :] = jnp.sum(Wx * M, axis=0, keepdims=True)
         out_ref[3 + 3 * d:4 + 3 * d, :] = jnp.sum(WxD * M, 0, keepdims=True)
         out_ref[4 + 3 * d:5 + 3 * d, :] = jnp.sum(Wx * MDy, 0, keepdims=True)
@@ -378,23 +382,24 @@ def _p2g_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
 
 
 def _g2p_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
-                    gv0_ref, gv1_ref, gv2_ref, g_ref,
+                    gv0_ref, gv1_ref, gv2_ref, gvp_ref, g_ref,
                     dwx_ref, dwxd_ref, dwy_ref, dwdy_ref, dwz_ref, dwdz_ref,
-                    dgv0_ref, dgv1_ref, dgv2_ref,
+                    dgvp_ref,
                     h_ref, hdy_ref, hdz_ref,
                     dh_ref, dhdy_ref, dhdz_ref, a_ref):
     """VJP of _g2p_kernel. g (16, T) = cotangents of [v(3), m_dj(9), pad].
-    H slabs and their cotangent slabs live only in VMEM scratch."""
+    H slabs and their cotangent slabs live only in VMEM scratch; the grid
+    cotangent accumulates PACKED (wy*wz, 3*wx) so the dot_t contractions
+    run 120-wide."""
     @pl.when(pl.program_id(0) == 0)
     def _():
-        dgv0_ref[:] = jnp.zeros_like(dgv0_ref)
-        dgv1_ref[:] = jnp.zeros_like(dgv1_ref)
-        dgv2_ref[:] = jnp.zeros_like(dgv2_ref)
+        dgvp_ref[:] = jnp.zeros_like(dgvp_ref)
 
     Wx, WxD = wx_ref[:], wxd_ref[:]
     Wy, WDy = wy_ref[:], wdy_ref[:]
     Wz, WDz = wz_ref[:], wdz_ref[:]
     g = g_ref[:]
+    wx = Wx.shape[0]
     n_y, n_z = Wy.shape[0], Wz.shape[0]
 
     for y in range(n_y):
@@ -403,37 +408,52 @@ def _g2p_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
         hdz_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * WDz
     H, HDy, HDz = h_ref[:], hdy_ref[:], hdz_ref[:]
 
+    # dA/dB never materialize: their contractions against gv reduce to the
+    # small M matrices (dot00 over the 512 H rows, MXU, batched 120-wide via
+    # the packed grid), and their contractions against Wx/WxD become
+    # dot_t(H-variant, small rhs) with the three channels' rhs stacked.
+    gvp = gvp_ref[:]
+    M_all = _dot00(gvp, H)                        # (3*wx, T)
+    MDy_all = _dot00(gvp, HDy)
+    MDz_all = _dot00(gvp, HDz)
     dwx = jnp.zeros_like(Wx)
     dwxd = jnp.zeros_like(WxD)
+    r_h = []
+    r_dy = []
+    r_dz = []
+    for d in range(3):
+        dv = g[d:d + 1, :]
+        dm0 = g[3 + 3 * d:4 + 3 * d, :]
+        dm1 = g[4 + 3 * d:5 + 3 * d, :]
+        dm2 = g[5 + 3 * d:6 + 3 * d, :]
+        M = M_all[d * wx:(d + 1) * wx]
+        dwx = dwx + dv * M + dm1 * MDy_all[d * wx:(d + 1) * wx] \
+            + dm2 * MDz_all[d * wx:(d + 1) * wx]
+        dwxd = dwxd + dm0 * M
+        r_h.append(Wx * dv + WxD * dm0)
+        r_dy.append(Wx * dm1)
+        r_dz.append(Wx * dm2)
+    dwx_ref[:] = dwx
+    dwxd_ref[:] = dwxd
+    dgvp_ref[:] += (_dot_t(H, jnp.concatenate(r_h, axis=0))
+                    + _dot_t(HDy, jnp.concatenate(r_dy, axis=0))
+                    + _dot_t(HDz, jnp.concatenate(r_dz, axis=0)))
+
     dh_ref[:] = jnp.zeros_like(dh_ref)
     dhdy_ref[:] = jnp.zeros_like(dhdy_ref)
     dhdz_ref[:] = jnp.zeros_like(dhdz_ref)
-    for d, (gvd_ref, dgvd_ref) in enumerate(
-            ((gv0_ref, dgv0_ref), (gv1_ref, dgv1_ref), (gv2_ref, dgv2_ref))):
+    for d, gvd_ref in enumerate((gv0_ref, gv1_ref, gv2_ref)):
         gvd = gvd_ref[:]
         dv = g[d:d + 1, :]
         dm0 = g[3 + 3 * d:4 + 3 * d, :]
         dm1 = g[4 + 3 * d:5 + 3 * d, :]
         dm2 = g[5 + 3 * d:6 + 3 * d, :]
-        # dA/dB never materialize: their contractions against gvd reduce to
-        # the small M matrices (dot00 over the 512 H rows, MXU), and their
-        # contractions against Wx/WxD become dot_t(H-variant, small rhs)
-        M = _dot00(gvd, H)                        # (wx, T)
-        MDy = _dot00(gvd, HDy)
-        MDz = _dot00(gvd, HDz)
-        dwx = dwx + dv * M + dm1 * MDy + dm2 * MDz
-        dwxd = dwxd + dm0 * M
-        dgvd_ref[:] += (_dot_t(H, Wx * dv + WxD * dm0)
-                        + _dot_t(HDy, Wx * dm1)
-                        + _dot_t(HDz, Wx * dm2))
         a_ref[:] = _dot_rows(gvd, Wx)             # A slab (dH cotangent path)
         dh_ref[:] += a_ref[:] * dv
         dhdy_ref[:] += a_ref[:] * dm1
         dhdz_ref[:] += a_ref[:] * dm2
         a_ref[:] = _dot_rows(gvd, WxD)            # B slab
         dh_ref[:] += a_ref[:] * dm0
-    dwx_ref[:] = dwx
-    dwxd_ref[:] = dwxd
 
     dwz = jnp.zeros_like(Wz)
     dwdz = jnp.zeros_like(WDz)
@@ -466,26 +486,29 @@ def _splat_kernel(wx_ref, wy_ref, wz_ref, vals_ref, out_ref, h_ref, r_ref):
     out_ref[:] += _dot_t(h_ref[:], r_ref[:])
 
 
-def _gather_kernel(wx_ref, wy_ref, wz_ref, gv0_ref, gv1_ref, gv2_ref,
-                   out_ref, h_ref):
+def _gather_kernel(wx_ref, wy_ref, wz_ref, gvp_ref, out_ref, h_ref):
     Wx, Wy, Wz = wx_ref[:], wy_ref[:], wz_ref[:]
+    wx = Wx.shape[0]
     n_y, n_z = Wy.shape[0], Wz.shape[0]
     for y in range(n_y):
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * Wz
     H = h_ref[:]
-    for d, gvd_ref in enumerate((gv0_ref, gv1_ref, gv2_ref)):
-        M = _dot00(gvd_ref[:], H)                 # (wx, T) — see _g2p_kernel
+    M_all = _dot00(gvp_ref[:], H)                 # (3*wx, T), 120-wide dot
+    for d in range(3):
+        M = M_all[d * wx:(d + 1) * wx]
         out_ref[d:d + 1, :] = jnp.sum(Wx * M, axis=0, keepdims=True)
     out_ref[3:8, :] = jnp.zeros_like(out_ref[3:8, :])
 
 
 def _splat_bwd_kernel(wx_ref, wy_ref, wz_ref, vals_ref,
-                      dout0_ref, dout1_ref, dout2_ref,
+                      dout0_ref, dout1_ref, dout2_ref, doutp_ref,
                       dwx_ref, dwy_ref, dwz_ref, dvals_ref,
                       h_ref, a_ref, dh_ref):
-    """VJP of _splat_kernel. dout0-2: (wy*wz, wx) per channel."""
+    """VJP of _splat_kernel. dout0-2: (wy*wz, wx) per channel; doutp is the
+    same cotangent packed (wy*wz, 3*wx) for the batched 120-wide dot."""
     Wx, Wy, Wz = wx_ref[:], wy_ref[:], wz_ref[:]
     vals = vals_ref[:]
+    wx = Wx.shape[0]
     n_y, n_z = Wy.shape[0], Wz.shape[0]
 
     for y in range(n_y):
@@ -494,12 +517,12 @@ def _splat_bwd_kernel(wx_ref, wy_ref, wz_ref, vals_ref,
 
     dwx = jnp.zeros_like(Wx)
     dh_ref[:] = jnp.zeros_like(dh_ref)
+    N_all = _dot00(doutp_ref[:], H)               # (3*wx, T), 120-wide dot
     for d, doutd_ref in enumerate((dout0_ref, dout1_ref, dout2_ref)):
-        doutd = doutd_ref[:]
-        N = _dot00(doutd, H)                      # (wx, T), shared
+        N = N_all[wx * d:wx * (d + 1)]
         dvals_ref[d:d + 1, :] = jnp.sum(Wx * N, 0, keepdims=True)
         dwx = dwx + vals[d:d + 1, :] * N
-        a_ref[:] = _dot_rows(doutd, Wx)           # A' slab (dH path)
+        a_ref[:] = _dot_rows(doutd_ref[:], Wx)    # A' slab (dH path)
         dh_ref[:] += a_ref[:] * vals[d:d + 1, :]
     dwx_ref[:] = dwx
     dvals_ref[3:8, :] = jnp.zeros_like(dvals_ref[3:8, :])
@@ -513,35 +536,35 @@ def _splat_bwd_kernel(wx_ref, wy_ref, wz_ref, vals_ref,
 
 
 def _gather_bwd_kernel(wx_ref, wy_ref, wz_ref, gv0_ref, gv1_ref, gv2_ref,
-                       dv_ref,
-                       dwx_ref, dwy_ref, dwz_ref,
-                       dgv0_ref, dgv1_ref, dgv2_ref,
+                       gvp_ref, dv_ref,
+                       dwx_ref, dwy_ref, dwz_ref, dgvp_ref,
                        h_ref, a_ref, dh_ref):
-    """VJP of _gather_kernel. dv (8, T), rows 0-2 used."""
+    """VJP of _gather_kernel. dv (8, T), rows 0-2 used; grid cotangent
+    accumulates packed (wy*wz, 3*wx) for the batched 120-wide dot."""
     @pl.when(pl.program_id(0) == 0)
     def _():
-        dgv0_ref[:] = jnp.zeros_like(dgv0_ref)
-        dgv1_ref[:] = jnp.zeros_like(dgv1_ref)
-        dgv2_ref[:] = jnp.zeros_like(dgv2_ref)
+        dgvp_ref[:] = jnp.zeros_like(dgvp_ref)
 
     Wx, Wy, Wz = wx_ref[:], wy_ref[:], wz_ref[:]
     dv = dv_ref[:]
+    wx = Wx.shape[0]
     n_y, n_z = Wy.shape[0], Wz.shape[0]
 
     for y in range(n_y):
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * Wz
     H = h_ref[:]
 
+    M_all = _dot00(gvp_ref[:], H)                 # (3*wx, T)
     dwx = jnp.zeros_like(Wx)
     dh_ref[:] = jnp.zeros_like(dh_ref)
-    for d, (gvd_ref, dgvd_ref) in enumerate(
-            ((gv0_ref, dgv0_ref), (gv1_ref, dgv1_ref), (gv2_ref, dgv2_ref))):
-        gvd = gvd_ref[:]
+    r_all = []
+    for d, gvd_ref in enumerate((gv0_ref, gv1_ref, gv2_ref)):
         dvd = dv[d:d + 1, :]
-        dgvd_ref[:] += _dot_t(H, Wx * dvd)        # dA_d = H*dv_d, folded
-        dwx = dwx + dvd * _dot00(gvd, H)
-        a_ref[:] = _dot_rows(gvd, Wx)             # A_d slab (dH path)
+        r_all.append(Wx * dvd)                    # dA_d = H*dv_d, folded
+        dwx = dwx + dvd * M_all[d * wx:(d + 1) * wx]
+        a_ref[:] = _dot_rows(gvd_ref[:], Wx)      # A_d slab (dH path)
         dh_ref[:] += a_ref[:] * dvd
+    dgvp_ref[:] += _dot_t(H, jnp.concatenate(r_all, axis=0))
     dwx_ref[:] = dwx
 
     dwz = jnp.zeros_like(Wz)
@@ -601,13 +624,13 @@ def _g2p_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2):
         return pl.BlockSpec((rows, _TILE_N), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
-    gspec = pl.BlockSpec((wy * wz, wx), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
+    gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
     out = pl.pallas_call(
         _g2p_kernel,
         grid=(n_pad // _TILE_N,),
         in_specs=[spec(wx), spec(wx), spec(wy), spec(wy), spec(wz), spec(wz),
-                  gspec, gspec, gspec],
+                  pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((16, _TILE_N), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
@@ -615,7 +638,7 @@ def _g2p_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2):
                         pltpu.VMEM((wy * wz, _TILE_N), jnp.float32),
                         pltpu.VMEM((wy * wz, _TILE_N), jnp.float32)],
         interpret=_INTERPRET,
-    )(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2)
+    )(Wx, WxD, Wy, WDy, Wz, WDz, gvp)
     return out[:, :n]
 
 
@@ -652,18 +675,19 @@ def _gather_pallas(Wx, Wy, Wz, gv0, gv1, gv2):
         return pl.BlockSpec((rows, _TILE_N), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
-    gspec = pl.BlockSpec((wy * wz, wx), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
+    gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
     out = pl.pallas_call(
         _gather_kernel,
         grid=(n_pad // _TILE_N,),
-        in_specs=[spec(wx), spec(wy), spec(wz), gspec, gspec, gspec],
+        in_specs=[spec(wx), spec(wy), spec(wz),
+                  pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((8, _TILE_N), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((wy * wz, _TILE_N), jnp.float32)],
         interpret=_INTERPRET,
-    )(Wx, Wy, Wz, gv0, gv1, gv2)
+    )(Wx, Wy, Wz, gvp)
     return out[0:3, :n]
 
 
@@ -718,22 +742,25 @@ def _g2p_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2, g):
 
     gspec = pl.BlockSpec((wy * wz, wx), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    gshape = jax.ShapeDtypeStruct((wy * wz, wx), jnp.float32)
+    pspec = pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     slab = pltpu.VMEM((wy * wz, tile), jnp.float32)
+    gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
     outs = pl.pallas_call(
         _g2p_bwd_kernel,
         grid=(n_pad // tile,),
         in_specs=[spec(wx), spec(wx), spec(wy), spec(wy), spec(wz), spec(wz),
-                  gspec, gspec, gspec, spec(16)],
+                  gspec, gspec, gspec, pspec, spec(16)],
         out_specs=[spec(wx), spec(wx), spec(wy), spec(wy), spec(wz), spec(wz),
-                   gspec, gspec, gspec],
+                   pspec],
         out_shape=[out(wx), out(wx), out(wy), out(wy), out(wz), out(wz),
-                   gshape, gshape, gshape],
+                   jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32)],
         scratch_shapes=[slab] * 7,
         interpret=_INTERPRET,
-    )(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2, g)
+    )(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2, gvp, g)
     dws = tuple(o[:, :n] for o in outs[:6])
-    return dws + (outs[6], outs[7], outs[8])
+    dgvp = outs[6]
+    return dws + (dgvp[:, :wx], dgvp[:, wx:2 * wx], dgvp[:, 2 * wx:])
 
 
 def _splat_bwd_pallas(Wx, Wy, Wz, vals, dout):
@@ -752,17 +779,19 @@ def _splat_bwd_pallas(Wx, Wy, Wz, vals, dout):
 
     gspec = pl.BlockSpec((wy * wz, wx), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     slab = pltpu.VMEM((wy * wz, _TILE_N), jnp.float32)
     dwx, dwy, dwz, dvals = pl.pallas_call(
         _splat_bwd_kernel,
         grid=(n_pad // _TILE_N,),
         in_specs=[spec(wx), spec(wy), spec(wz), spec(8),
-                  gspec, gspec, gspec],
+                  gspec, gspec, gspec, pspec],
         out_specs=[spec(wx), spec(wy), spec(wz), spec(8)],
         out_shape=[out(wx), out(wy), out(wz), out(8)],
         scratch_shapes=[slab, slab, slab],
         interpret=_INTERPRET,
-    )(Wx, Wy, Wz, vals8, *douts)
+    )(Wx, Wy, Wz, vals8, *douts, dout)
     return (dwx[:, :n], dwy[:, :n], dwz[:, :n], dvals[0:3, :n])
 
 
@@ -781,19 +810,23 @@ def _gather_bwd_pallas(Wx, Wy, Wz, gv0, gv1, gv2, dv):
 
     gspec = pl.BlockSpec((wy * wz, wx), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    gshape = jax.ShapeDtypeStruct((wy * wz, wx), jnp.float32)
+    pspec = pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     slab = pltpu.VMEM((wy * wz, _TILE_N), jnp.float32)
-    dwx, dwy, dwz, dgv0, dgv1, dgv2 = pl.pallas_call(
+    gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
+    dwx, dwy, dwz, dgvp = pl.pallas_call(
         _gather_bwd_kernel,
         grid=(n_pad // _TILE_N,),
         in_specs=[spec(wx), spec(wy), spec(wz), gspec, gspec, gspec,
-                  spec(8)],
-        out_specs=[spec(wx), spec(wy), spec(wz), gspec, gspec, gspec],
-        out_shape=[out(wx), out(wy), out(wz), gshape, gshape, gshape],
+                  pspec, spec(8)],
+        out_specs=[spec(wx), spec(wy), spec(wz), pspec],
+        out_shape=[out(wx), out(wy), out(wz),
+                   jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32)],
         scratch_shapes=[slab, slab, slab],
         interpret=_INTERPRET,
-    )(Wx, Wy, Wz, gv0, gv1, gv2, dv8)
-    return (dwx[:, :n], dwy[:, :n], dwz[:, :n], dgv0, dgv1, dgv2)
+    )(Wx, Wy, Wz, gv0, gv1, gv2, gvp, dv8)
+    return (dwx[:, :n], dwy[:, :n], dwz[:, :n],
+            dgvp[:, :wx], dgvp[:, wx:2 * wx], dgvp[:, 2 * wx:])
 
 
 # ---------------------------------------------------------------------------
