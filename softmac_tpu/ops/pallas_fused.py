@@ -24,15 +24,15 @@ sizes = (wx, wy, wz); H row (y, z) = y*wz + z; grid channels (wy*wz, wx).
 All shapes static, f32, window sizes multiples of 8 (every demo config's
 active_window qualifies; the XLA path remains for CPU/f64/full-grid).
 
-Backward: custom_vjp. p2g/g2p are bilinear (weights x values), so the VJP
-is another pair of transfer-shaped contractions; until the dedicated
-backward kernels land, it runs as jax.vjp of the XLA reference
-implementation below — bit-identical cotangents to autodiff of the
-production dense path.
+Backward: custom_vjp with dedicated fused kernels. p2g/g2p are bilinear
+(weights x values), so every VJP is another pair of transfer-shaped
+contractions with the same VMEM slab structure as the forward; cotangents
+are verified against jax.vjp of the XLA reference implementations (which
+also serve as the ``lax.platform_dependent`` CPU branch) by
+tests/test_pallas_fused.py.
 """
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
