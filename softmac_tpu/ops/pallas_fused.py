@@ -575,6 +575,15 @@ def _gather_bwd_kernel(wx_ref, wy_ref, wz_ref, gv0_ref, gv1_ref, gv2_ref,
     dwz_ref[:] = dwz
 
 
+def _pick_tile(scratch_rows, cap=_TILE_N):
+    """Largest 128-multiple tile (<= cap) whose f32 scratch slabs fit a
+    ~10 MB budget (the 16 MB scoped-vmem limit minus in/out blocks and
+    expression temporaries). The pour window (wy*wz=512) keeps full-width
+    tiles; taco's 1152-row window scales down instead of OOMing."""
+    tile = (10_000_000 // (4 * scratch_rows)) // 128 * 128
+    return int(max(256, min(cap, tile)))
+
+
 def _pad_tiles(arrs, n, tile=_TILE_N):
     n_pad = -(-n // tile) * tile
     if n_pad == n:
@@ -585,11 +594,12 @@ def _pad_tiles(arrs, n, tile=_TILE_N):
 def _p2g_pallas(Wx, WxD, Wy, WDy, Wz, WDz, chan):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
+    tile = _pick_tile(wy * wz + 4 * wx)
     (Wx, WxD, Wy, WDy, Wz, WDz, chan), n_pad = _pad_tiles(
         [Wx, WxD, Wy, WDy, Wz, WDz, chan], n)
 
     def spec(rows):
-        return pl.BlockSpec((rows, _TILE_N), lambda i: (0, i),
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     def out_spec(shape):
@@ -597,7 +607,7 @@ def _p2g_pallas(Wx, WxD, Wy, WDy, Wz, WDz, chan):
 
     o1, o2, o3 = pl.pallas_call(
         _p2g_kernel,
-        grid=(n_pad // _TILE_N,),
+        grid=(n_pad // tile,),
         in_specs=[spec(wx), spec(wx), spec(wy), spec(wy), spec(wz), spec(wz),
                   spec(16)],
         out_specs=[out_spec((wy * wz, 4 * wx)), out_spec((wy * wz, 3 * wx)),
@@ -605,8 +615,8 @@ def _p2g_pallas(Wx, WxD, Wy, WDy, Wz, WDz, chan):
         out_shape=[jax.ShapeDtypeStruct((wy * wz, 4 * wx), jnp.float32),
                    jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32),
                    jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((wy * wz, _TILE_N), jnp.float32),
-                        pltpu.VMEM((4 * wx, _TILE_N), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((wy * wz, tile), jnp.float32),
+                        pltpu.VMEM((4 * wx, tile), jnp.float32)],
         interpret=_INTERPRET,
     )(Wx, WxD, Wy, WDy, Wz, WDz, chan)
     gm = o1[:, :wx]
@@ -617,26 +627,27 @@ def _p2g_pallas(Wx, WxD, Wy, WDy, Wz, WDz, chan):
 def _g2p_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
+    tile = _pick_tile(3 * wy * wz)
     (Wx, WxD, Wy, WDy, Wz, WDz), n_pad = _pad_tiles(
         [Wx, WxD, Wy, WDy, Wz, WDz], n)
 
     def spec(rows):
-        return pl.BlockSpec((rows, _TILE_N), lambda i: (0, i),
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
     out = pl.pallas_call(
         _g2p_kernel,
-        grid=(n_pad // _TILE_N,),
+        grid=(n_pad // tile,),
         in_specs=[spec(wx), spec(wx), spec(wy), spec(wy), spec(wz), spec(wz),
                   pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((16, _TILE_N), lambda i: (0, i),
+        out_specs=pl.BlockSpec((16, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((wy * wz, _TILE_N), jnp.float32),
-                        pltpu.VMEM((wy * wz, _TILE_N), jnp.float32),
-                        pltpu.VMEM((wy * wz, _TILE_N), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((wy * wz, tile), jnp.float32),
+                        pltpu.VMEM((wy * wz, tile), jnp.float32),
+                        pltpu.VMEM((wy * wz, tile), jnp.float32)],
         interpret=_INTERPRET,
     )(Wx, WxD, Wy, WDy, Wz, WDz, gvp)
     return out[:, :n]
@@ -645,22 +656,23 @@ def _g2p_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2):
 def _splat_pallas(Wx, Wy, Wz, vals):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
+    tile = _pick_tile(wy * wz + 3 * wx)
     vals8 = jnp.concatenate([vals, jnp.zeros((5, n), vals.dtype)], axis=0)
     (Wx, Wy, Wz, vals8), n_pad = _pad_tiles([Wx, Wy, Wz, vals8], n)
 
     def spec(rows):
-        return pl.BlockSpec((rows, _TILE_N), lambda i: (0, i),
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         _splat_kernel,
-        grid=(n_pad // _TILE_N,),
+        grid=(n_pad // tile,),
         in_specs=[spec(wx), spec(wy), spec(wz), spec(8)],
         out_specs=pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((wy * wz, _TILE_N), jnp.float32),
-                        pltpu.VMEM((3 * wx, _TILE_N), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((wy * wz, tile), jnp.float32),
+                        pltpu.VMEM((3 * wx, tile), jnp.float32)],
         interpret=_INTERPRET,
     )(Wx, Wy, Wz, vals8)
     return out
@@ -669,23 +681,24 @@ def _splat_pallas(Wx, Wy, Wz, vals):
 def _gather_pallas(Wx, Wy, Wz, gv0, gv1, gv2):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
+    tile = _pick_tile(wy * wz)
     (Wx, Wy, Wz), n_pad = _pad_tiles([Wx, Wy, Wz], n)
 
     def spec(rows):
-        return pl.BlockSpec((rows, _TILE_N), lambda i: (0, i),
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
     out = pl.pallas_call(
         _gather_kernel,
-        grid=(n_pad // _TILE_N,),
+        grid=(n_pad // tile,),
         in_specs=[spec(wx), spec(wy), spec(wz),
                   pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, _TILE_N), lambda i: (0, i),
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((wy * wz, _TILE_N), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((wy * wz, tile), jnp.float32)],
         interpret=_INTERPRET,
     )(Wx, Wy, Wz, gvp)
     return out[0:3, :n]
@@ -694,12 +707,13 @@ def _gather_pallas(Wx, Wy, Wz, gv0, gv1, gv2):
 def _p2g_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, chan, dgm, dgmom):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
+    tile = _pick_tile(2 * wy * wz)
     do1 = jnp.concatenate([dgm, dgmom], axis=1)
     (Wx, WxD, Wy, WDy, Wz, WDz, chan), n_pad = _pad_tiles(
         [Wx, WxD, Wy, WDy, Wz, WDz, chan], n)
 
     def spec(rows):
-        return pl.BlockSpec((rows, _TILE_N), lambda i: (0, i),
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     def const(shape):
@@ -710,15 +724,15 @@ def _p2g_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, chan, dgm, dgmom):
 
     outs = pl.pallas_call(
         _p2g_bwd_kernel,
-        grid=(n_pad // _TILE_N,),
+        grid=(n_pad // tile,),
         in_specs=[spec(wx), spec(wx), spec(wy), spec(wy), spec(wz), spec(wz),
                   spec(16), const((wy * wz, 4 * wx)), const((wy * wz, 3 * wx))],
         out_specs=[spec(wx), spec(wx), spec(wy), spec(wy), spec(wz), spec(wz),
                    spec(16)],
         out_shape=[out(wx), out(wx), out(wy), out(wy), out(wz), out(wz),
                    out(16)],
-        scratch_shapes=[pltpu.VMEM((wy * wz, _TILE_N), jnp.float32),
-                        pltpu.VMEM((wy * wz, _TILE_N), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((wy * wz, tile), jnp.float32),
+                        pltpu.VMEM((wy * wz, tile), jnp.float32)],
         interpret=_INTERPRET,
     )(Wx, WxD, Wy, WDy, Wz, WDz, chan, do1, dgmom)
     return tuple(o[:, :n] for o in outs)
@@ -727,9 +741,9 @@ def _p2g_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, chan, dgm, dgmom):
 def _g2p_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2, g):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
-    # 7 VMEM slab scratches at tile 512 ~ 7 MB, inside the 16 MB scoped-vmem
-    # budget now that dA/dB temporaries reduce to small M matrices
-    tile = 512
+    # 7 VMEM slab scratches — the tightest kernel; _pick_tile keeps the
+    # slabs inside the 16 MB scoped-vmem budget at every window geometry
+    tile = _pick_tile(7 * wy * wz, cap=512)
     (Wx, WxD, Wy, WDy, Wz, WDz, g), n_pad = _pad_tiles(
         [Wx, WxD, Wy, WDy, Wz, WDz, g], n, tile)
 
@@ -766,12 +780,13 @@ def _g2p_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2, g):
 def _splat_bwd_pallas(Wx, Wy, Wz, vals, dout):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
+    tile = _pick_tile(3 * wy * wz)
     vals8 = jnp.concatenate([vals, jnp.zeros((5, n), vals.dtype)], axis=0)
     (Wx, Wy, Wz, vals8), n_pad = _pad_tiles([Wx, Wy, Wz, vals8], n)
     douts = [dout[:, d * wx:(d + 1) * wx] for d in range(3)]
 
     def spec(rows):
-        return pl.BlockSpec((rows, _TILE_N), lambda i: (0, i),
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     def out(rows):
@@ -781,10 +796,10 @@ def _splat_bwd_pallas(Wx, Wy, Wz, vals, dout):
                          memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    slab = pltpu.VMEM((wy * wz, _TILE_N), jnp.float32)
+    slab = pltpu.VMEM((wy * wz, tile), jnp.float32)
     dwx, dwy, dwz, dvals = pl.pallas_call(
         _splat_bwd_kernel,
-        grid=(n_pad // _TILE_N,),
+        grid=(n_pad // tile,),
         in_specs=[spec(wx), spec(wy), spec(wz), spec(8),
                   gspec, gspec, gspec, pspec],
         out_specs=[spec(wx), spec(wy), spec(wz), spec(8)],
@@ -798,11 +813,12 @@ def _splat_bwd_pallas(Wx, Wy, Wz, vals, dout):
 def _gather_bwd_pallas(Wx, Wy, Wz, gv0, gv1, gv2, dv):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
+    tile = _pick_tile(3 * wy * wz)
     dv8 = jnp.concatenate([dv, jnp.zeros((5, n), dv.dtype)], axis=0)
     (Wx, Wy, Wz, dv8), n_pad = _pad_tiles([Wx, Wy, Wz, dv8], n)
 
     def spec(rows):
-        return pl.BlockSpec((rows, _TILE_N), lambda i: (0, i),
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     def out(rows):
@@ -812,11 +828,11 @@ def _gather_bwd_pallas(Wx, Wy, Wz, gv0, gv1, gv2, dv):
                          memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    slab = pltpu.VMEM((wy * wz, _TILE_N), jnp.float32)
+    slab = pltpu.VMEM((wy * wz, tile), jnp.float32)
     gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
     dwx, dwy, dwz, dgvp = pl.pallas_call(
         _gather_bwd_kernel,
-        grid=(n_pad // _TILE_N,),
+        grid=(n_pad // tile,),
         in_specs=[spec(wx), spec(wy), spec(wz), gspec, gspec, gspec,
                   pspec, spec(8)],
         out_specs=[spec(wx), spec(wy), spec(wz), pspec],
