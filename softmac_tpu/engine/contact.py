@@ -129,7 +129,30 @@ def collide_mixed(prim: SDFParams, body_pos, body_quat, body_v, body_w,
     x, p_v: vec of (N,); life: scalar 1/(substeps - k). Returns (p_v', wrench).
     ``push_cap`` bounds the penetration push-out speed (m/s); None/inf is the
     reference's uncapped ``(sdf/dt)*life`` (primitive_base.py:167-170).
+
+    On TPU (f32) the whole pipeline between the two SDF row gathers runs in
+    fused Pallas kernels (ops/pallas_contact.py); ``lax.platform_dependent``
+    keeps the XLA implementation below for every other lowering target.
     """
+    from softmac_tpu.ops import pallas_contact as pc
+    if pc.kernel_wanted(x[0].dtype):
+        import functools
+        from jax import lax
+        fused = functools.partial(pc.collide_mixed_fused, p_mass=p_mass,
+                                  dt=dt, push_cap=push_cap)
+        xla = functools.partial(_collide_mixed_xla, p_mass=p_mass, dt=dt,
+                                push_cap=push_cap)
+        return lax.platform_dependent(
+            prim, body_pos, body_quat, body_v, body_w, friction, softness,
+            x, p_v, life, tpu=fused, default=xla)
+    return _collide_mixed_xla(prim, body_pos, body_quat, body_v, body_w,
+                              friction, softness, x, p_v, life,
+                              p_mass=p_mass, dt=dt, push_cap=push_cap)
+
+
+def _collide_mixed_xla(prim: SDFParams, body_pos, body_quat, body_v, body_w,
+                       friction, softness, x, p_v, life, *, p_mass, dt,
+                       push_cap=None):
     bp, bq, bv, bw = _body_tuples(body_pos, body_quat, body_v, body_w)
     dist, D = sample_sdf_normal_world(prim, bp, bq, x)
     mask = dist <= CONTACT_THRESHOLD

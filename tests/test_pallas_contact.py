@@ -1,0 +1,87 @@
+"""Fused mixed-contact kernels (ops/pallas_contact.py) vs the XLA
+implementation, in Pallas interpret mode on CPU. Same f32 math modulo
+association order -> tight tolerances."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from softmac_tpu.engine import contact as cm
+from softmac_tpu.engine.sdf import sdf_params_from_bake
+from softmac_tpu.ops import pallas_contact as pc
+
+pytestmark = pytest.mark.skipif(not pc._HAS_PALLAS,
+                                reason="pallas unavailable")
+
+
+def _prim(res=10):
+    """Synthetic sphere SDF bake (analytic, smooth)."""
+    lower, upper = np.zeros(3), np.ones(3)
+    dx = 1.0 / (res - 1)
+    g = np.stack(np.meshgrid(*[np.linspace(0, 1, res)] * 3, indexing="ij"),
+                 axis=-1)
+    d = np.linalg.norm(g - 0.5, axis=-1) - 0.25
+    n = (g - 0.5) / np.maximum(np.linalg.norm(g - 0.5, axis=-1,
+                                              keepdims=True), 1e-9)
+    bake = {"res": (res, res, res), "sdf": d, "normal": n,
+            "position": (lower, upper), "dx": (dx, dx, dx)}
+    return sdf_params_from_bake(bake, jnp.float32)
+
+
+def _scene(n=600, seed=0):
+    prim = _prim()
+    rng = np.random.default_rng(seed)
+    # mix of deep-contact, near-surface, and far/out-of-box particles
+    x = tuple(jnp.asarray(-0.1 + 1.3 * rng.random(n), jnp.float32)
+              for _ in range(3))
+    v = tuple(jnp.asarray(0.5 * rng.standard_normal(n), jnp.float32)
+              for _ in range(3))
+    bp = jnp.asarray([0.02, -0.03, 0.01], jnp.float32)
+    q = np.array([0.9, 0.1, -0.2, 0.15]); q /= np.linalg.norm(q)
+    bq = jnp.asarray(q, jnp.float32)
+    bv = jnp.asarray([0.1, -0.2, 0.05], jnp.float32)
+    bw = jnp.asarray([0.3, 0.1, -0.2], jnp.float32)
+    return prim, bp, bq, bv, bw, x, v
+
+
+@pytest.mark.parametrize("push_cap", [None, 2.0])
+def test_fused_matches_xla(monkeypatch, push_cap):
+    monkeypatch.setattr(pc, "_INTERPRET", True)
+    pc._fused_factory.cache_clear()
+    prim, bp, bq, bv, bw, x, v = _scene()
+    fr = jnp.float32(0.4)
+    so = jnp.float32(666.0)
+    kw = dict(p_mass=2e-4, dt=1e-4, push_cap=push_cap)
+
+    pv_f, wr_f = pc.collide_mixed_fused(prim, bp, bq, bv, bw, fr, so, x, v,
+                                        0.25, **kw)
+    pv_x, wr_x = cm._collide_mixed_xla(prim, bp, bq, bv, bw, fr, so, x, v,
+                                       0.25, **kw)
+    for d in range(3):
+        np.testing.assert_allclose(pv_f[d], pv_x[d], rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(wr_f, wr_x, rtol=5e-4, atol=1e-5)
+
+
+def test_fused_grads_match_xla(monkeypatch):
+    monkeypatch.setattr(pc, "_INTERPRET", True)
+    pc._fused_factory.cache_clear()
+    prim, bp, bq, bv, bw, x, v = _scene(n=300, seed=3)
+    fr = jnp.float32(0.4)
+    so = jnp.float32(666.0)
+    kw = dict(p_mass=2e-4, dt=1e-4, push_cap=None)
+    rng = np.random.default_rng(4)
+    px = tuple(jnp.asarray(rng.standard_normal(300), jnp.float32)
+               for _ in range(3))
+    pw = jnp.asarray(rng.standard_normal(6), jnp.float32)
+
+    def loss(fn, args):
+        bp_, bv_, x_, v_ = args
+        pv, wr = fn(prim, bp_, bq, bv_, bw, fr, so, x_, v_, 0.25, **kw)
+        return sum(jnp.sum(pv[d] * px[d]) for d in range(3)) + wr @ pw
+
+    args = (bp, bv, x, v)
+    g_f = jax.grad(lambda a: loss(pc.collide_mixed_fused, a))(args)
+    g_x = jax.grad(lambda a: loss(cm._collide_mixed_xla, a))(args)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
