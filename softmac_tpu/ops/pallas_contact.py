@@ -11,16 +11,25 @@ EVERYTHING between the gathers into two elementwise pallas_calls:
     kernel A: trilinear (sdf, normal) + friction-cone response -> p_v1, x_new
     idx2 = cell(x_new)        [XLA]     rows2 = table[:, idx2]   [XLA gather]
     kernel B: penetration push-out -> p_v_out, b_f
+    tail [XLA]: mask b_f, torque cross, wrench reduction
 
 The gathers use the TRANSPOSED (32, M) table view so rows land directly in
 the (32, T) sublane-major block the kernels consume; the transpose of the
 constant table is loop-invariant and hoisted out of the substep scan by XLA.
 
-Backward: custom_vjp whose bwd is jax.vjp of the XLA implementation
-(``contact._collide_mixed_xla``) — bit-identical cotangents to autodiff of
-the production path. prim-table cotangents are returned as zeros (the
-tables are constants; the rollout never differentiates them, so XLA DCEs
-the zeros).
+Backward: custom_vjp with dedicated Pallas kernels. Each backward kernel's
+body is ``jax.vjp`` of the SAME in-kernel math function the forward kernel
+runs (``_mixed1_math`` / ``_mixed2_math``) — a trace-time transform, so the
+two directions cannot drift. The 16 differentiable scalars (bp, bq, bv, bw,
+friction, softness, life) enter the backward kernels pre-broadcast to
+(1, T) lane rows; their cotangents come back as per-lane contribution rows
+that XLA sums over the particle axis (lane reductions inside the kernel
+would serialize the VPU). Residuals are just the primal args — the bwd
+wrapper re-runs the cheap forward pieces (two gathers + kernel A), which
+keeps custom_vjp memory flat under the rollout's remat scans. The tiny
+wrench-assembly tail ((N,)-sized masks + 6 reductions) is differentiated in
+XLA. prim-table cotangents are zeros (the tables are constants; the rollout
+never differentiates them, so XLA DCEs the zeros).
 
 Reference: softmac/engine/primitive/primitive_base.py:139-181 (collide
 mixed), mesh.py:96-118 (trilinear SDF/normal sample).
@@ -47,22 +56,44 @@ _INTERPRET = False
 BIG = 1e10
 CONTACT_THRESHOLD = 5e-3
 
-# par row layout (lane index in the (1, 128) parameter block)
+# par row layout (lane index in the (1, 128) parameter block). Lanes 0-15
+# are the differentiable scalars, in the order the backward kernels emit
+# their cotangent rows; 16+ are non-differentiable geometry constants.
 _BP, _BQ, _BV, _BW = 0, 3, 7, 10
 _FRICTION, _SOFTNESS, _LIFE, _PUSH_CAP = 13, 14, 15, 16
 _LOWER, _UPPER, _INV_DX = 17, 20, 23
+_N_DIFF = 16
 
 
-def _scalars(par):
-    def P(i):
-        return par[0, i]
+def _par_unpack(par, T=None):
+    """Split the (1, 128) par block into (s, nd): s = the 16 differentiable
+    scalars grouped ((bp), (bq), (bv), (bw), friction, softness, life), nd =
+    non-diff constants (lower, upper, inv_dx, push_cap). With ``T`` given the
+    s entries are broadcast to (1, T) lane rows (so their vjp cotangents are
+    per-lane contributions instead of in-kernel reductions)."""
+    if T is None:
+        def P(i):
+            return par[0, i]
+    else:
+        ones = jnp.ones((1, T), jnp.float32)
+
+        def P(i):
+            return par[0:1, i:i + 1] * ones
     bp = (P(_BP), P(_BP + 1), P(_BP + 2))
     bq = (P(_BQ), P(_BQ + 1), P(_BQ + 2), P(_BQ + 3))
     bv = (P(_BV), P(_BV + 1), P(_BV + 2))
     bw = (P(_BW), P(_BW + 1), P(_BW + 2))
-    lower = (P(_LOWER), P(_LOWER + 1), P(_LOWER + 2))
-    upper = (P(_UPPER), P(_UPPER + 1), P(_UPPER + 2))
-    return bp, bq, bv, bw, lower, upper, P
+    s = (bp, bq, bv, bw, P(_FRICTION), P(_SOFTNESS), P(_LIFE))
+    nd = ((par[0, _LOWER], par[0, _LOWER + 1], par[0, _LOWER + 2]),
+          (par[0, _UPPER], par[0, _UPPER + 1], par[0, _UPPER + 2]),
+          par[0, _INV_DX], par[0, _PUSH_CAP])
+    return s, nd
+
+
+def _flat_s(s):
+    """s pytree -> the 16 (1, T) rows in par-lane order."""
+    bp, bq, bv, bw, fr, so, life = s
+    return list(bp) + list(bq) + list(bv) + list(bw) + [fr, so, life]
 
 
 def _local_and_fx(p_loc, lower, upper, inv_dx, res):
@@ -102,80 +133,141 @@ def _combine(rows, fx, in_box):
     return jnp.where(in_box, sdf, BIG), n
 
 
+def _mixed1_math(rows, xv, s, nd, res, dt):
+    """Stage 1: trilinear sample + friction-cone response. (8, T) out rows:
+    p_v1 (0-2), x + dt*p_v1 (3-5), dist (6), zero (7)."""
+    bp, bq, bv, bw, friction, softness, _life = s
+    lower, upper, inv_dx, _cap = nd
+    x = (xv[0:1, :], xv[1:2, :], xv[2:3, :])
+    v = (xv[3:4, :], xv[4:5, :], xv[5:6, :])
+
+    qinv = m33.qnorm(m33.qconj(bq))
+    p_loc = m33.qrot(qinv, m33.vsub(x, bp))
+    in_box, fx = _local_and_fx(p_loc, lower, upper, inv_dx, res)
+    dist, n_loc = _combine(rows, fx, in_box)
+    D = m33.qrot(bq, n_loc)
+
+    mask = dist <= CONTACT_THRESHOLD
+    dist_s = jnp.where(mask, dist, 0.0)
+    r = m33.vsub(x, bp)
+    cv = m33.qrot(m33.qnorm(bq),
+                  m33.vadd(bv, m33.cross(bw, m33.qrot(
+                      m33.qconj(m33.qnorm(bq)), r))))
+    input_v = m33.vsub(v, cv)
+    nc = m33.dot(input_v, D)
+    p_v_t = m33.vsub(input_v, m33.vscale(D, nc))
+    vt_norm = jnp.sqrt(m33.dot(p_v_t, p_v_t) + 1e-8)
+    vt_fric = m33.vscale(
+        p_v_t, jnp.maximum(0.0, vt_norm + nc * friction) / vt_norm)
+    flag = (nc < 0) & (m33.dot(p_v_t, p_v_t) > 1e-60)
+    p_v_t = m33.vwhere(flag, vt_fric, p_v_t)
+    v_contact = m33.vadd(cv, p_v_t)
+    influence = jnp.exp(-jnp.maximum(dist_s, 0.0) * softness)
+    v_soft = m33.vadd(cv, m33.vadd(
+        m33.vscale(input_v, 1.0 - influence),
+        m33.vscale(p_v_t, influence)))
+    v_near = m33.vwhere(dist_s > 0, v_soft, v_contact)
+    p_v1 = m33.vwhere(mask & (nc < 0), v_near, v)
+
+    return jnp.concatenate(
+        [p_v1[0], p_v1[1], p_v1[2],
+         x[0] + dt * p_v1[0], x[1] + dt * p_v1[1], x[2] + dt * p_v1[2],
+         dist, jnp.zeros_like(dist)], axis=0)
+
+
+def _mixed2_math(rows2, xv, st1, s, nd, res, dt, p_mass):
+    """Stage 2: penetration push-out. (8, T) out rows: p_v_out (0-2),
+    unmasked reaction force (3-5), zeros (6-7)."""
+    bp, bq, _bv, _bw, _fr, _so, life = s
+    lower, upper, inv_dx, push_cap = nd
+    v = (xv[3:4, :], xv[4:5, :], xv[5:6, :])
+    p_v1 = (st1[0:1, :], st1[1:2, :], st1[2:3, :])
+    x_new = (st1[3:4, :], st1[4:5, :], st1[5:6, :])
+    dist1 = st1[6:7, :]
+
+    qinv = m33.qnorm(m33.qconj(bq))
+    p_loc = m33.qrot(qinv, m33.vsub(x_new, bp))
+    in_box, fx = _local_and_fx(p_loc, lower, upper, inv_dx, res)
+    sdf2, n2_loc = _combine(rows2, fx, in_box)
+    n2 = m33.qrot(bq, n2_loc)
+
+    mask = dist1 <= CONTACT_THRESHOLD
+    pen = mask & (sdf2 < 0)
+    sdf2_s = jnp.where(pen, sdf2, 0.0)
+    push = jnp.minimum(-(sdf2_s / dt) * life, push_cap)
+    p_v2 = m33.vadd(p_v1, m33.vscale(n2, push))
+    p_v_out = m33.vwhere(mask, p_v2, v)
+
+    zero = jnp.zeros_like(dist1)
+    return jnp.concatenate(
+        [p_v_out[0], p_v_out[1], p_v_out[2],
+         (v[0] - p_v_out[0]) * (p_mass / dt),
+         (v[1] - p_v_out[1]) * (p_mass / dt),
+         (v[2] - p_v_out[2]) * (p_mass / dt),
+         zero, zero], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernels: unpack par as 0-d scalars, run the shared math.
+# ---------------------------------------------------------------------------
+
 def _make_mixed1_kernel(res, dt):
     def kernel(rows_ref, xv_ref, par_ref, out_ref):
-        par = par_ref[:]
-        bp, bq, bv, bw, lower, upper, P = _scalars(par)
-        xv = xv_ref[:]
-        x = (xv[0:1, :], xv[1:2, :], xv[2:3, :])
-        v = (xv[3:4, :], xv[4:5, :], xv[5:6, :])
-
-        qinv = m33.qnorm(m33.qconj(bq))
-        p_loc = m33.qrot(qinv, m33.vsub(x, bp))
-        in_box, fx = _local_and_fx(p_loc, lower, upper, P(_INV_DX), res)
-        dist, n_loc = _combine(rows_ref[:], fx, in_box)
-        D = m33.qrot(bq, n_loc)
-
-        mask = dist <= CONTACT_THRESHOLD
-        dist_s = jnp.where(mask, dist, 0.0)
-        r = m33.vsub(x, bp)
-        cv = m33.qrot(m33.qnorm(bq),
-                      m33.vadd(bv, m33.cross(bw, m33.qrot(
-                          m33.qconj(m33.qnorm(bq)), r))))
-        input_v = m33.vsub(v, cv)
-        nc = m33.dot(input_v, D)
-        p_v_t = m33.vsub(input_v, m33.vscale(D, nc))
-        vt_norm = jnp.sqrt(m33.dot(p_v_t, p_v_t) + 1e-8)
-        vt_fric = m33.vscale(
-            p_v_t, jnp.maximum(0.0, vt_norm + nc * P(_FRICTION)) / vt_norm)
-        flag = (nc < 0) & (m33.dot(p_v_t, p_v_t) > 1e-60)
-        p_v_t = m33.vwhere(flag, vt_fric, p_v_t)
-        v_contact = m33.vadd(cv, p_v_t)
-        influence = jnp.exp(-jnp.maximum(dist_s, 0.0) * P(_SOFTNESS))
-        v_soft = m33.vadd(cv, m33.vadd(
-            m33.vscale(input_v, 1.0 - influence),
-            m33.vscale(p_v_t, influence)))
-        v_near = m33.vwhere(dist_s > 0, v_soft, v_contact)
-        p_v1 = m33.vwhere(mask & (nc < 0), v_near, v)
-
-        for d in range(3):
-            out_ref[d:d + 1, :] = p_v1[d]
-            out_ref[3 + d:4 + d, :] = x[d] + dt * p_v1[d]
-        out_ref[6:7, :] = dist
-        out_ref[7:8, :] = jnp.zeros_like(dist)
+        s, nd = _par_unpack(par_ref[:])
+        out_ref[:] = _mixed1_math(rows_ref[:], xv_ref[:], s, nd, res, dt)
     return kernel
 
 
 def _make_mixed2_kernel(res, dt, p_mass):
     def kernel(rows2_ref, xv_ref, st1_ref, par_ref, out_ref):
-        par = par_ref[:]
-        bp, bq, bv, bw, lower, upper, P = _scalars(par)
-        xv = xv_ref[:]
-        v = (xv[3:4, :], xv[4:5, :], xv[5:6, :])
-        st1 = st1_ref[:]
-        p_v1 = (st1[0:1, :], st1[1:2, :], st1[2:3, :])
-        x_new = (st1[3:4, :], st1[4:5, :], st1[5:6, :])
-        dist1 = st1[6:7, :]
-
-        qinv = m33.qnorm(m33.qconj(bq))
-        p_loc = m33.qrot(qinv, m33.vsub(x_new, bp))
-        in_box, fx = _local_and_fx(p_loc, lower, upper, P(_INV_DX), res)
-        sdf2, n2_loc = _combine(rows2_ref[:], fx, in_box)
-        n2 = m33.qrot(bq, n2_loc)
-
-        mask = dist1 <= CONTACT_THRESHOLD
-        pen = mask & (sdf2 < 0)
-        sdf2_s = jnp.where(pen, sdf2, 0.0)
-        push = jnp.minimum(-(sdf2_s / dt) * P(_LIFE), P(_PUSH_CAP))
-        p_v2 = m33.vadd(p_v1, m33.vscale(n2, push))
-        p_v_out = m33.vwhere(mask, p_v2, v)
-
-        for d in range(3):
-            out_ref[d:d + 1, :] = p_v_out[d]
-            out_ref[3 + d:4 + d, :] = (v[d] - p_v_out[d]) * (p_mass / dt)
-        out_ref[6:8, :] = jnp.zeros_like(out_ref[6:8, :])
+        s, nd = _par_unpack(par_ref[:])
+        out_ref[:] = _mixed2_math(rows2_ref[:], xv_ref[:], st1_ref[:], s, nd,
+                                  res, dt, p_mass)
     return kernel
 
+
+# ---------------------------------------------------------------------------
+# Backward kernels: jax.vjp of the shared math at trace time. Scalars enter
+# broadcast to (1, T) so cotangents come out as per-lane rows (16, T).
+# ---------------------------------------------------------------------------
+
+def _make_mixed1_bwd_kernel(res, dt):
+    def kernel(rows_ref, xv_ref, g_ref, par_ref, gxv_ref, gpar_ref):
+        T = g_ref.shape[1]
+        s, nd = _par_unpack(par_ref[:], T)
+        rows = rows_ref[:]
+
+        def f(xv, s):
+            return _mixed1_math(rows, xv, s, nd, res, dt)
+
+        _, vjp = jax.vjp(f, xv_ref[:], s)
+        gxv, gs = vjp(g_ref[:])
+        gxv_ref[:] = gxv
+        gpar_ref[:] = jnp.concatenate(_flat_s(gs), axis=0)
+    return kernel
+
+
+def _make_mixed2_bwd_kernel(res, dt, p_mass):
+    def kernel(rows2_ref, xv_ref, st1_ref, g_ref, par_ref,
+               gxv_ref, gst1_ref, gpar_ref):
+        T = g_ref.shape[1]
+        s, nd = _par_unpack(par_ref[:], T)
+        rows2 = rows2_ref[:]
+
+        def f(xv, st1, s):
+            return _mixed2_math(rows2, xv, st1, s, nd, res, dt, p_mass)
+
+        _, vjp = jax.vjp(f, xv_ref[:], st1_ref[:], s)
+        gxv, gst1, gs = vjp(g_ref[:])
+        gxv_ref[:] = gxv
+        gst1_ref[:] = gst1
+        gpar_ref[:] = jnp.concatenate(_flat_s(gs), axis=0)
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing.
+# ---------------------------------------------------------------------------
 
 def _cell_index(prim, p_loc):
     """Flat base-cell index, identical to sdf.sample_sdf_normal_local."""
@@ -194,9 +286,10 @@ def _pad8(arrs, n, tile):
     return [jnp.pad(a, ((0, 0), (0, n_pad - n))) for a in arrs], n_pad
 
 
-def _run_kernel(kernel, rows_blocks, dense_blocks, n):
-    """rows_blocks: list of (32, N); dense_blocks: list of (8, N) / (1,128)
-    par (the last entry, constant across tiles)."""
+def _run_kernel(kernel, rows_blocks, dense_blocks, n, out_rows=(8,)):
+    """rows_blocks: list of (32, N); dense_blocks: (R<=8, N) blocks with the
+    constant (1, 128) par block LAST. out_rows: row count per output; returns
+    one array or a tuple, each trimmed to (:, :n)."""
     tile = _TILE_N
     par = dense_blocks[-1]
     arrs, n_pad = _pad8(list(rows_blocks) + list(dense_blocks[:-1]), n, tile)
@@ -206,18 +299,20 @@ def _run_kernel(kernel, rows_blocks, dense_blocks, n):
                             memory_space=pltpu.VMEM)
 
     in_specs = ([spec(32)] * len(rows_blocks)
-                + [spec(8)] * (len(dense_blocks) - 1)
+                + [spec(a.shape[0]) for a in dense_blocks[:-1]]
                 + [pl.BlockSpec((1, 128), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)])
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
         in_specs=in_specs,
-        out_specs=spec(8),
-        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        out_specs=[spec(r) for r in out_rows],
+        out_shape=[jax.ShapeDtypeStruct((r, n_pad), jnp.float32)
+                   for r in out_rows],
         interpret=_INTERPRET,
     )(*arrs, par)
-    return out[:, :n]
+    out = tuple(o[:, :n] for o in out)
+    return out[0] if len(out) == 1 else out
 
 
 def _pack_par(prim, bp, bq, bv, bw, friction, softness, life, push_cap):
@@ -232,16 +327,26 @@ def _pack_par(prim, bp, bq, bv, bw, friction, softness, life, push_cap):
     return jnp.pad(vals, (0, 128 - vals.shape[0]))[None, :]
 
 
+def _tail(out2, st1, x, bp3):
+    """Mask the reaction force, build the wrench (XLA; (N,)-sized)."""
+    p_v_out = (out2[0], out2[1], out2[2])
+    mask = st1[6] <= CONTACT_THRESHOLD
+    b_f = tuple(jnp.where(mask, out2[3 + d], 0.0) for d in range(3))
+    r = m33.vsub(x, bp3)
+    b_t = m33.cross(r, b_f)
+    wrench = jnp.stack([jnp.sum(c) for c in (b_f + b_t)])
+    return p_v_out, wrench
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_factory(res, dt, p_mass, push_cap):
-    """custom_vjp collide_mixed for static (res, dt, p_mass, push_cap).
-    Forward runs the two fused kernels; backward is jax.vjp of the XLA
-    implementation (identical cotangents to autodiff of the production
-    path)."""
+    """custom_vjp collide_mixed for static (res, dt, p_mass, push_cap)."""
     k1 = _make_mixed1_kernel(res, dt)
     k2 = _make_mixed2_kernel(res, dt, p_mass)
+    k1b = _make_mixed1_bwd_kernel(res, dt)
+    k2b = _make_mixed2_bwd_kernel(res, dt, p_mass)
 
-    def fwd_impl(prim, bp, bq, bv, bw, friction, softness, x, p_v, life):
+    def parts(prim, bp, bq, bv, bw, friction, softness, x, p_v, life):
         n = x[0].shape[0]
         par = _pack_par(prim, bp, bq, bv, bw, friction, softness, life,
                         push_cap)
@@ -258,38 +363,46 @@ def _fused_factory(res, dt, p_mass, push_cap):
         x_new = (st1[3], st1[4], st1[5])
         p_loc2 = m33.qrot(qinv, m33.vsub(x_new, bp3))
         rows2 = nbt[:, _cell_index(prim, p_loc2)]
-        out = _run_kernel(k2, [rows2], [xv, st1, par], n)
-
-        p_v_out = (out[0], out[1], out[2])
-        b_f = (out[3], out[4], out[5])
-        mask = st1[6] <= CONTACT_THRESHOLD
-        r = m33.vsub(x, bp3)
-        b_f = tuple(jnp.where(mask, f, 0.0) for f in b_f)
-        b_t = m33.cross(r, b_f)
-        wrench = jnp.stack([jnp.sum(c) for c in (b_f + b_t)])
-        return p_v_out, wrench
+        out2 = _run_kernel(k2, [rows2], [xv, st1, par], n)
+        return par, xv, rows1, st1, rows2, out2
 
     @jax.custom_vjp
     def fused(prim, bp, bq, bv, bw, friction, softness, x, p_v, life):
-        return fwd_impl(prim, bp, bq, bv, bw, friction, softness, x, p_v,
-                        life)
+        _, _, _, st1, _, out2 = parts(prim, bp, bq, bv, bw, friction,
+                                      softness, x, p_v, life)
+        return _tail(out2, st1, x, (bp[0], bp[1], bp[2]))
 
     def _fwd(*args):
         return fused(*args), args
 
     def _bwd(res_args, g):
-        from softmac_tpu.engine import contact as cm
-        prim = res_args[0]
+        prim, bp, bq, bv, bw, friction, softness, x, p_v, life = res_args
+        n = x[0].shape[0]
+        par, xv, rows1, st1, rows2, out2 = parts(*res_args)
+        bp3 = (bp[0], bp[1], bp[2])
 
-        def ref(bp, bq, bv, bw, friction, softness, x, p_v, life):
-            return cm._collide_mixed_xla(
-                prim, bp, bq, bv, bw, friction, softness, x, p_v,
-                life, p_mass=p_mass, dt=dt, push_cap=push_cap)
+        _, vjp_tail = jax.vjp(_tail, out2, st1, x, bp3)
+        g_out2, g_st1_t, g_x_t, g_bp_t = vjp_tail(g)
 
-        _, vjp = jax.vjp(ref, *res_args[1:])
-        grads = vjp(g)
+        gxv_b, gst1_b, gpar_b = _run_kernel(
+            k2b, [rows2], [xv, st1, g_out2, par], n, out_rows=(8, 8, 16))
+        gxv_a, gpar_a = _run_kernel(
+            k1b, [rows1], [xv, gst1_b + g_st1_t, par], n, out_rows=(8, 16))
+
+        gpar = jnp.sum(gpar_a, axis=1) + jnp.sum(gpar_b, axis=1)
+        g_x = tuple(gxv_a[d] + gxv_b[d] + g_x_t[d] for d in range(3))
+        g_v = tuple(gxv_a[3 + d] + gxv_b[3 + d] for d in range(3))
+        g_bp = gpar[_BP:_BP + 3] + jnp.stack(list(g_bp_t))
         zero_prim = jax.tree_util.tree_map(jnp.zeros_like, prim)
-        return (zero_prim,) + tuple(grads)
+        return (zero_prim,
+                g_bp.astype(bp.dtype),
+                gpar[_BQ:_BQ + 4].astype(bq.dtype),
+                gpar[_BV:_BV + 3].astype(bv.dtype),
+                gpar[_BW:_BW + 3].astype(bw.dtype),
+                gpar[_FRICTION].astype(friction.dtype),
+                gpar[_SOFTNESS].astype(softness.dtype),
+                g_x, g_v,
+                gpar[_LIFE].astype(life.dtype))
 
     fused.defvjp(_fwd, _bwd)
     return fused
@@ -308,7 +421,10 @@ def collide_mixed_fused(prim, body_pos, body_quat, body_v, body_w,
     import numpy as np
     cap = np.inf if push_cap is None else float(push_cap)
     fn = _fused_factory(tuple(prim.res), float(dt), float(p_mass), cap)
-    return fn(prim, body_pos, body_quat, body_v, body_w,
+    return fn(prim, jnp.asarray(body_pos, jnp.float32),
+              jnp.asarray(body_quat, jnp.float32),
+              jnp.asarray(body_v, jnp.float32),
+              jnp.asarray(body_w, jnp.float32),
               jnp.asarray(friction, jnp.float32),
               jnp.asarray(softness, jnp.float32), x, p_v,
               jnp.asarray(life, jnp.float32))

@@ -62,26 +62,31 @@ def test_fused_matches_xla(monkeypatch, push_cap):
     np.testing.assert_allclose(wr_f, wr_x, rtol=5e-4, atol=1e-5)
 
 
-def test_fused_grads_match_xla(monkeypatch):
+@pytest.mark.parametrize("push_cap", [None, 2.0])
+def test_fused_grads_match_xla(monkeypatch, push_cap):
+    """Cotangents of EVERY differentiable input (body state, friction,
+    softness, particle state, life) from the hand-written backward kernels
+    vs jax.vjp of the XLA implementation."""
     monkeypatch.setattr(pc, "_INTERPRET", True)
     pc._fused_factory.cache_clear()
     prim, bp, bq, bv, bw, x, v = _scene(n=300, seed=3)
-    fr = jnp.float32(0.4)
-    so = jnp.float32(666.0)
-    kw = dict(p_mass=2e-4, dt=1e-4, push_cap=None)
+    kw = dict(p_mass=2e-4, dt=1e-4, push_cap=push_cap)
     rng = np.random.default_rng(4)
     px = tuple(jnp.asarray(rng.standard_normal(300), jnp.float32)
                for _ in range(3))
     pw = jnp.asarray(rng.standard_normal(6), jnp.float32)
 
     def loss(fn, args):
-        bp_, bv_, x_, v_ = args
-        pv, wr = fn(prim, bp_, bq, bv_, bw, fr, so, x_, v_, 0.25, **kw)
+        bp_, bq_, bv_, bw_, fr_, so_, x_, v_, life_ = args
+        pv, wr = fn(prim, bp_, bq_, bv_, bw_, fr_, so_, x_, v_, life_, **kw)
         return sum(jnp.sum(pv[d] * px[d]) for d in range(3)) + wr @ pw
 
-    args = (bp, bv, x, v)
+    args = (bp, bq, bv, bw, jnp.float32(0.4), jnp.float32(666.0), x, v,
+            jnp.float32(0.25))
     g_f = jax.grad(lambda a: loss(pc.collide_mixed_fused, a))(args)
     g_x = jax.grad(lambda a: loss(cm._collide_mixed_xla, a))(args)
     for a, b in zip(jax.tree_util.tree_leaves(g_f),
                     jax.tree_util.tree_leaves(g_x)):
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a / scale, b / scale, rtol=2e-3, atol=2e-3)
