@@ -382,15 +382,18 @@ def _p2g_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
 
 
 def _g2p_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
-                    gv0_ref, gv1_ref, gv2_ref, gvp_ref, g_ref,
+                    gvp_ref, g_ref,
                     dwx_ref, dwxd_ref, dwy_ref, dwdy_ref, dwz_ref, dwdz_ref,
                     dgvp_ref,
                     h_ref, hdy_ref, hdz_ref,
-                    dh_ref, dhdy_ref, dhdz_ref, a_ref):
+                    dh_ref, dhdy_ref, dhdz_ref):
     """VJP of _g2p_kernel. g (16, T) = cotangents of [v(3), m_dj(9), pad].
     H slabs and their cotangent slabs live only in VMEM scratch; the grid
     cotangent accumulates PACKED (wy*wz, 3*wx) so the dot_t contractions
-    run 120-wide."""
+    run 120-wide. The dH-slab cotangents reuse the same packed R matrices:
+    dH = Sum_d A_d*dv_d + B_d*dm0_d = gvp @ [Wx*dv_d + WxD*dm0_d]_d — one
+    120-wide dot per slab instead of six 40-wide dots plus twelve
+    slab-sized VPU FMAs."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         dgvp_ref[:] = jnp.zeros_like(dgvp_ref)
@@ -435,25 +438,14 @@ def _g2p_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
         r_dz.append(Wx * dm2)
     dwx_ref[:] = dwx
     dwxd_ref[:] = dwxd
-    dgvp_ref[:] += (_dot_t(H, jnp.concatenate(r_h, axis=0))
-                    + _dot_t(HDy, jnp.concatenate(r_dy, axis=0))
-                    + _dot_t(HDz, jnp.concatenate(r_dz, axis=0)))
+    rh = jnp.concatenate(r_h, axis=0)             # (3*wx, T)
+    rdy = jnp.concatenate(r_dy, axis=0)
+    rdz = jnp.concatenate(r_dz, axis=0)
+    dgvp_ref[:] += _dot_t(H, rh) + _dot_t(HDy, rdy) + _dot_t(HDz, rdz)
 
-    dh_ref[:] = jnp.zeros_like(dh_ref)
-    dhdy_ref[:] = jnp.zeros_like(dhdy_ref)
-    dhdz_ref[:] = jnp.zeros_like(dhdz_ref)
-    for d, gvd_ref in enumerate((gv0_ref, gv1_ref, gv2_ref)):
-        gvd = gvd_ref[:]
-        dv = g[d:d + 1, :]
-        dm0 = g[3 + 3 * d:4 + 3 * d, :]
-        dm1 = g[4 + 3 * d:5 + 3 * d, :]
-        dm2 = g[5 + 3 * d:6 + 3 * d, :]
-        a_ref[:] = _dot_rows(gvd, Wx)             # A slab (dH cotangent path)
-        dh_ref[:] += a_ref[:] * dv
-        dhdy_ref[:] += a_ref[:] * dm1
-        dhdz_ref[:] += a_ref[:] * dm2
-        a_ref[:] = _dot_rows(gvd, WxD)            # B slab
-        dh_ref[:] += a_ref[:] * dm0
+    dh_ref[:] = _dot_rows(gvp, rh)                # 120-wide, replaces the
+    dhdy_ref[:] = _dot_rows(gvp, rdy)             # per-channel A/B slabs
+    dhdz_ref[:] = _dot_rows(gvp, rdz)
 
     dwz = jnp.zeros_like(Wz)
     dwdz = jnp.zeros_like(WDz)
@@ -500,12 +492,12 @@ def _gather_kernel(wx_ref, wy_ref, wz_ref, gvp_ref, out_ref, h_ref):
     out_ref[3:8, :] = jnp.zeros_like(out_ref[3:8, :])
 
 
-def _splat_bwd_kernel(wx_ref, wy_ref, wz_ref, vals_ref,
-                      dout0_ref, dout1_ref, dout2_ref, doutp_ref,
+def _splat_bwd_kernel(wx_ref, wy_ref, wz_ref, vals_ref, doutp_ref,
                       dwx_ref, dwy_ref, dwz_ref, dvals_ref,
-                      h_ref, a_ref, dh_ref):
-    """VJP of _splat_kernel. dout0-2: (wy*wz, wx) per channel; doutp is the
-    same cotangent packed (wy*wz, 3*wx) for the batched 120-wide dot."""
+                      h_ref, dh_ref):
+    """VJP of _splat_kernel. doutp: the grid cotangent packed (wy*wz, 3*wx)
+    so both the N contraction and the dH slab run as 120-wide dots:
+    dH = Sum_d A'_d*vals_d = doutp @ [Wx*vals_d]_d."""
     Wx, Wy, Wz = wx_ref[:], wy_ref[:], wz_ref[:]
     vals = vals_ref[:]
     wx = Wx.shape[0]
@@ -515,15 +507,16 @@ def _splat_bwd_kernel(wx_ref, wy_ref, wz_ref, vals_ref,
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * Wz
     H = h_ref[:]
 
+    doutp = doutp_ref[:]
     dwx = jnp.zeros_like(Wx)
-    dh_ref[:] = jnp.zeros_like(dh_ref)
-    N_all = _dot00(doutp_ref[:], H)               # (3*wx, T), 120-wide dot
-    for d, doutd_ref in enumerate((dout0_ref, dout1_ref, dout2_ref)):
+    rv = []
+    N_all = _dot00(doutp, H)                      # (3*wx, T), 120-wide dot
+    for d in range(3):
         N = N_all[wx * d:wx * (d + 1)]
         dvals_ref[d:d + 1, :] = jnp.sum(Wx * N, 0, keepdims=True)
         dwx = dwx + vals[d:d + 1, :] * N
-        a_ref[:] = _dot_rows(doutd_ref[:], Wx)    # A' slab (dH path)
-        dh_ref[:] += a_ref[:] * vals[d:d + 1, :]
+        rv.append(Wx * vals[d:d + 1, :])
+    dh_ref[:] = _dot_rows(doutp, jnp.concatenate(rv, axis=0))
     dwx_ref[:] = dwx
     dvals_ref[3:8, :] = jnp.zeros_like(dvals_ref[3:8, :])
 
@@ -535,12 +528,13 @@ def _splat_bwd_kernel(wx_ref, wy_ref, wz_ref, vals_ref,
     dwz_ref[:] = dwz
 
 
-def _gather_bwd_kernel(wx_ref, wy_ref, wz_ref, gv0_ref, gv1_ref, gv2_ref,
-                       gvp_ref, dv_ref,
+def _gather_bwd_kernel(wx_ref, wy_ref, wz_ref, gvp_ref, dv_ref,
                        dwx_ref, dwy_ref, dwz_ref, dgvp_ref,
-                       h_ref, a_ref, dh_ref):
+                       h_ref, dh_ref):
     """VJP of _gather_kernel. dv (8, T), rows 0-2 used; grid cotangent
-    accumulates packed (wy*wz, 3*wx) for the batched 120-wide dot."""
+    accumulates packed (wy*wz, 3*wx) for the batched 120-wide dot. The dH
+    slab is the same packed contraction: dH = Sum_d A_d*dv_d
+    = gvp @ [Wx*dv_d]_d — and that R matrix is shared with the dgvp dot."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         dgvp_ref[:] = jnp.zeros_like(dgvp_ref)
@@ -554,17 +548,17 @@ def _gather_bwd_kernel(wx_ref, wy_ref, wz_ref, gv0_ref, gv1_ref, gv2_ref,
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * Wz
     H = h_ref[:]
 
-    M_all = _dot00(gvp_ref[:], H)                 # (3*wx, T)
+    gvp = gvp_ref[:]
+    M_all = _dot00(gvp, H)                        # (3*wx, T)
     dwx = jnp.zeros_like(Wx)
-    dh_ref[:] = jnp.zeros_like(dh_ref)
     r_all = []
-    for d, gvd_ref in enumerate((gv0_ref, gv1_ref, gv2_ref)):
+    for d in range(3):
         dvd = dv[d:d + 1, :]
         r_all.append(Wx * dvd)                    # dA_d = H*dv_d, folded
         dwx = dwx + dvd * M_all[d * wx:(d + 1) * wx]
-        a_ref[:] = _dot_rows(gvd_ref[:], Wx)      # A_d slab (dH path)
-        dh_ref[:] += a_ref[:] * dvd
-    dgvp_ref[:] += _dot_t(H, jnp.concatenate(r_all, axis=0))
+    rcat = jnp.concatenate(r_all, axis=0)         # (3*wx, T)
+    dgvp_ref[:] += _dot_t(H, rcat)
+    dh_ref[:] = _dot_rows(gvp, rcat)              # 120-wide dH slab
     dwx_ref[:] = dwx
 
     dwz = jnp.zeros_like(Wz)
@@ -596,7 +590,7 @@ def _p2g_pallas(Wx, WxD, Wy, WDy, Wz, WDz, chan):
     wy, wz = Wy.shape[0], Wz.shape[0]
     tile = _pick_tile(wy * wz + 4 * wx)
     (Wx, WxD, Wy, WDy, Wz, WDz, chan), n_pad = _pad_tiles(
-        [Wx, WxD, Wy, WDy, Wz, WDz, chan], n)
+        [Wx, WxD, Wy, WDy, Wz, WDz, chan], n, tile)
 
     def spec(rows):
         return pl.BlockSpec((rows, tile), lambda i: (0, i),
@@ -629,7 +623,7 @@ def _g2p_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2):
     wy, wz = Wy.shape[0], Wz.shape[0]
     tile = _pick_tile(3 * wy * wz)
     (Wx, WxD, Wy, WDy, Wz, WDz), n_pad = _pad_tiles(
-        [Wx, WxD, Wy, WDy, Wz, WDz], n)
+        [Wx, WxD, Wy, WDy, Wz, WDz], n, tile)
 
     def spec(rows):
         return pl.BlockSpec((rows, tile), lambda i: (0, i),
@@ -658,7 +652,7 @@ def _splat_pallas(Wx, Wy, Wz, vals):
     wy, wz = Wy.shape[0], Wz.shape[0]
     tile = _pick_tile(wy * wz + 3 * wx)
     vals8 = jnp.concatenate([vals, jnp.zeros((5, n), vals.dtype)], axis=0)
-    (Wx, Wy, Wz, vals8), n_pad = _pad_tiles([Wx, Wy, Wz, vals8], n)
+    (Wx, Wy, Wz, vals8), n_pad = _pad_tiles([Wx, Wy, Wz, vals8], n, tile)
 
     def spec(rows):
         return pl.BlockSpec((rows, tile), lambda i: (0, i),
@@ -682,7 +676,7 @@ def _gather_pallas(Wx, Wy, Wz, gv0, gv1, gv2):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
     tile = _pick_tile(wy * wz)
-    (Wx, Wy, Wz), n_pad = _pad_tiles([Wx, Wy, Wz], n)
+    (Wx, Wy, Wz), n_pad = _pad_tiles([Wx, Wy, Wz], n, tile)
 
     def spec(rows):
         return pl.BlockSpec((rows, tile), lambda i: (0, i),
@@ -710,7 +704,7 @@ def _p2g_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, chan, dgm, dgmom):
     tile = _pick_tile(2 * wy * wz)
     do1 = jnp.concatenate([dgm, dgmom], axis=1)
     (Wx, WxD, Wy, WDy, Wz, WDz, chan), n_pad = _pad_tiles(
-        [Wx, WxD, Wy, WDy, Wz, WDz, chan], n)
+        [Wx, WxD, Wy, WDy, Wz, WDz, chan], n, tile)
 
     def spec(rows):
         return pl.BlockSpec((rows, tile), lambda i: (0, i),
@@ -741,9 +735,9 @@ def _p2g_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, chan, dgm, dgmom):
 def _g2p_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2, g):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
-    # 7 VMEM slab scratches — the tightest kernel; _pick_tile keeps the
+    # 6 VMEM slab scratches — the tightest kernel; _pick_tile keeps the
     # slabs inside the 16 MB scoped-vmem budget at every window geometry
-    tile = _pick_tile(7 * wy * wz, cap=512)
+    tile = _pick_tile(6 * wy * wz, cap=768)
     (Wx, WxD, Wy, WDy, Wz, WDz, g), n_pad = _pad_tiles(
         [Wx, WxD, Wy, WDy, Wz, WDz, g], n, tile)
 
@@ -754,8 +748,6 @@ def _g2p_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2, g):
     def out(rows):
         return jax.ShapeDtypeStruct((rows, n_pad), jnp.float32)
 
-    gspec = pl.BlockSpec((wy * wz, wx), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     slab = pltpu.VMEM((wy * wz, tile), jnp.float32)
@@ -764,14 +756,14 @@ def _g2p_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2, g):
         _g2p_bwd_kernel,
         grid=(n_pad // tile,),
         in_specs=[spec(wx), spec(wx), spec(wy), spec(wy), spec(wz), spec(wz),
-                  gspec, gspec, gspec, pspec, spec(16)],
+                  pspec, spec(16)],
         out_specs=[spec(wx), spec(wx), spec(wy), spec(wy), spec(wz), spec(wz),
                    pspec],
         out_shape=[out(wx), out(wx), out(wy), out(wy), out(wz), out(wz),
                    jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32)],
-        scratch_shapes=[slab] * 7,
+        scratch_shapes=[slab] * 6,
         interpret=_INTERPRET,
-    )(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2, gvp, g)
+    )(Wx, WxD, Wy, WDy, Wz, WDz, gvp, g)
     dws = tuple(o[:, :n] for o in outs[:6])
     dgvp = outs[6]
     return dws + (dgvp[:, :wx], dgvp[:, wx:2 * wx], dgvp[:, 2 * wx:])
@@ -780,10 +772,9 @@ def _g2p_bwd_pallas(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2, g):
 def _splat_bwd_pallas(Wx, Wy, Wz, vals, dout):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
-    tile = _pick_tile(3 * wy * wz)
+    tile = _pick_tile(2 * wy * wz)
     vals8 = jnp.concatenate([vals, jnp.zeros((5, n), vals.dtype)], axis=0)
-    (Wx, Wy, Wz, vals8), n_pad = _pad_tiles([Wx, Wy, Wz, vals8], n)
-    douts = [dout[:, d * wx:(d + 1) * wx] for d in range(3)]
+    (Wx, Wy, Wz, vals8), n_pad = _pad_tiles([Wx, Wy, Wz, vals8], n, tile)
 
     def spec(rows):
         return pl.BlockSpec((rows, tile), lambda i: (0, i),
@@ -792,30 +783,27 @@ def _splat_bwd_pallas(Wx, Wy, Wz, vals, dout):
     def out(rows):
         return jax.ShapeDtypeStruct((rows, n_pad), jnp.float32)
 
-    gspec = pl.BlockSpec((wy * wz, wx), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     slab = pltpu.VMEM((wy * wz, tile), jnp.float32)
     dwx, dwy, dwz, dvals = pl.pallas_call(
         _splat_bwd_kernel,
         grid=(n_pad // tile,),
-        in_specs=[spec(wx), spec(wy), spec(wz), spec(8),
-                  gspec, gspec, gspec, pspec],
+        in_specs=[spec(wx), spec(wy), spec(wz), spec(8), pspec],
         out_specs=[spec(wx), spec(wy), spec(wz), spec(8)],
         out_shape=[out(wx), out(wy), out(wz), out(8)],
-        scratch_shapes=[slab, slab, slab],
+        scratch_shapes=[slab, slab],
         interpret=_INTERPRET,
-    )(Wx, Wy, Wz, vals8, *douts, dout)
+    )(Wx, Wy, Wz, vals8, dout)
     return (dwx[:, :n], dwy[:, :n], dwz[:, :n], dvals[0:3, :n])
 
 
 def _gather_bwd_pallas(Wx, Wy, Wz, gv0, gv1, gv2, dv):
     wx, n = Wx.shape
     wy, wz = Wy.shape[0], Wz.shape[0]
-    tile = _pick_tile(3 * wy * wz)
+    tile = _pick_tile(2 * wy * wz)
     dv8 = jnp.concatenate([dv, jnp.zeros((5, n), dv.dtype)], axis=0)
-    (Wx, Wy, Wz, dv8), n_pad = _pad_tiles([Wx, Wy, Wz, dv8], n)
+    (Wx, Wy, Wz, dv8), n_pad = _pad_tiles([Wx, Wy, Wz, dv8], n, tile)
 
     def spec(rows):
         return pl.BlockSpec((rows, tile), lambda i: (0, i),
@@ -824,8 +812,6 @@ def _gather_bwd_pallas(Wx, Wy, Wz, gv0, gv1, gv2, dv):
     def out(rows):
         return jax.ShapeDtypeStruct((rows, n_pad), jnp.float32)
 
-    gspec = pl.BlockSpec((wy * wz, wx), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((wy * wz, 3 * wx), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     slab = pltpu.VMEM((wy * wz, tile), jnp.float32)
@@ -833,14 +819,13 @@ def _gather_bwd_pallas(Wx, Wy, Wz, gv0, gv1, gv2, dv):
     dwx, dwy, dwz, dgvp = pl.pallas_call(
         _gather_bwd_kernel,
         grid=(n_pad // tile,),
-        in_specs=[spec(wx), spec(wy), spec(wz), gspec, gspec, gspec,
-                  pspec, spec(8)],
+        in_specs=[spec(wx), spec(wy), spec(wz), pspec, spec(8)],
         out_specs=[spec(wx), spec(wy), spec(wz), pspec],
         out_shape=[out(wx), out(wy), out(wz),
                    jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32)],
-        scratch_shapes=[slab, slab, slab],
+        scratch_shapes=[slab, slab],
         interpret=_INTERPRET,
-    )(Wx, Wy, Wz, gv0, gv1, gv2, gvp, dv8)
+    )(Wx, Wy, Wz, gvp, dv8)
     return (dwx[:, :n], dwy[:, :n], dwz[:, :n],
             dgvp[:, :wx], dgvp[:, wx:2 * wx], dgvp[:, 2 * wx:])
 

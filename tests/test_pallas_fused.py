@@ -243,3 +243,77 @@ def test_g2p_grad_matches_dense(monkeypatch):
     g_ref = jax.grad(loss_ref)(args)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+
+def test_multi_tile_grid(monkeypatch):
+    """All four transfer kernels + grads with a forced 256-wide tile so
+    n=700 spans 3 grid steps with a padded remainder. Regression for the
+    pad/grid mismatch where wrappers padded n to the DEFAULT tile multiple
+    but ran the grid at their own smaller tile, silently never computing
+    the trailing particles (bit at 1e5 particles in production; the n<=tile
+    tests above cannot see it)."""
+    monkeypatch.setattr(pallas_fused, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_fused, "_pick_tile",
+                        lambda rows, cap=None: 256)
+    cfg, W, WD, v, C, stress, impulse = _setup(n=700, seed=21)
+    wx, wy, wz = 40, 32, 16
+    Hyz, HyzDy, HyzDz = mpm.hyz_family(cfg, W, WD)
+    ws, chan = _fused_inputs(cfg, W, WD, v, C, stress, impulse)
+    rng = np.random.default_rng(22)
+    gv = tuple(jnp.asarray(rng.standard_normal((wy * wz, wx)), jnp.float32)
+               for _ in range(3))
+
+    ref = mpm.p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
+    gm, gmom = pallas_fused.p2g(*ws, chan)
+    np.testing.assert_allclose(gm, ref[0], rtol=2e-3, atol=2e-3)
+
+    v_ref, C_ref, _ = mpm.g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, gv, v)
+    out = pallas_fused.g2p(*ws, *gv)
+    for d in range(3):
+        np.testing.assert_allclose(out[d], v_ref[d], rtol=2e-3, atol=2e-3)
+
+    got = pallas_fused.gather(W[0], W[1], W[2], *gv)
+    v_ref = mpm.gather_dense(cfg, W, Hyz, gv)
+    for d in range(3):
+        np.testing.assert_allclose(got[d], v_ref[d], rtol=2e-3, atol=2e-3)
+
+    vals = jnp.asarray(rng.standard_normal((3, 700)), jnp.float32)
+    s_ref = mpm.splat_channels(cfg, W, Hyz, [vals[d] for d in range(3)])
+    got = pallas_fused.splat(W[0], W[1], W[2], vals)
+    for d in range(3):
+        np.testing.assert_allclose(got[:, d * wx:(d + 1) * wx], s_ref[d],
+                                   rtol=2e-3, atol=2e-3)
+
+    # grads through every kernel at the multi-tile grid
+    pg = jnp.asarray(rng.standard_normal((16, 700)), jnp.float32)
+    args = ws + gv
+    g_f = jax.grad(lambda a: jnp.sum(pallas_fused.g2p(*a) * pg))(args)
+    g_r = jax.grad(lambda a: jnp.sum(pallas_fused._g2p_ref(*a) * pg))(args)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+    pm = jnp.asarray(rng.standard_normal((wy * wz, wx)), jnp.float32)
+    pmom = jnp.asarray(rng.standard_normal((wy * wz, 3 * wx)), jnp.float32)
+    args = ws + (chan,)
+    g_f = jax.grad(lambda a: (lambda o: jnp.sum(o[0] * pm)
+                              + jnp.sum(o[1] * pmom))(
+                                  pallas_fused.p2g(*a)))(args)
+    g_r = jax.grad(lambda a: (lambda o: jnp.sum(o[0] * pm)
+                              + jnp.sum(o[1] * pmom))(
+                                  pallas_fused._p2g_ref(*a)))(args)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+    pv = jnp.asarray(rng.standard_normal((3, 700)), jnp.float32)
+    args = (W[0], W[1], W[2]) + gv
+    g_f = jax.grad(lambda a: jnp.sum(pallas_fused.gather(*a) * pv))(args)
+    g_r = jax.grad(lambda a: jnp.sum(pallas_fused._gather_ref(*a) * pv))(args)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+    ps = jnp.asarray(rng.standard_normal((wy * wz, 3 * wx)), jnp.float32)
+    args = (W[0], W[1], W[2], vals)
+    g_f = jax.grad(lambda a: jnp.sum(pallas_fused.splat(*a) * ps))(args)
+    g_r = jax.grad(lambda a: jnp.sum(pallas_fused._splat_ref(*a) * ps))(args)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
