@@ -351,7 +351,7 @@ class SoftMacEnv:
     # ==================================================================
     # one env step (used by both the facade and the rollout)
     # ==================================================================
-    def _env_step_fn(self, carry, action):
+    def _env_step_fn(self, carry, action, params=None, assume_sorted=False):
         """(carry, action) -> (carry, (overflow, ext_f))."""
         if self.has_cloth:
             return self._env_step_cloth(carry, action)
@@ -365,11 +365,18 @@ class SoftMacEnv:
         bodies_c = grad_scale(bodies, self.ext_grad_scale) \
             if (self.rigid_model is not None) else bodies
 
+        # params/assume_sorted come from the rollout's sorted-carry path
+        # (_build_rollout): particle arrays are then pre-sorted by y-cell and
+        # the chunked Pallas kernels engage. Standalone callers (step(),
+        # sharding, policy) use the default original-order path.
+        params = self.mpm_params if params is None else params
+
         def sub(c, k):
             mpm_s, bod = c
             mpm_s, extf, aux = mpm_mod.substep(
-                cfg, self.mpm_params, self.prims, mpm_s, bod, k, mpm_action,
-                axis_name=self.particle_axis_name)
+                cfg, params, self.prims, mpm_s, bod, k, mpm_action,
+                axis_name=self.particle_axis_name,
+                assume_sorted=assume_sorted)
             if self.rigid_vel_model is not None:
                 bod = RigidVelocityModel.forward_kinematics(bod, cfg.dt)
             return (mpm_s, bod), (extf, aux["window_overflow"])
@@ -627,20 +634,74 @@ class SoftMacEnv:
             f"steps ({n_steps}) must be a multiple of the loss block ({block})")
         mask = jnp.asarray(mask_np, self.dtype)
 
-        env_step = jax.checkpoint(self._env_step_fn)
+        # Sorted-carry (TPU chunked-kernel path): the rigid-path carry is
+        # extended to (core, params_sorted, perm) where perm maps current
+        # position -> original particle index. Sorted once at rollout entry,
+        # re-keyed at every block boundary (drift between re-sorts is covered
+        # by the chunked kernels' 16-row tile slack + overflow flag), and
+        # unsorted once at rollout exit. Permuting per env step instead costs
+        # ~45 ms/step at 1e5 particles (see mpm.sorted_transfers_wanted).
+        use_sort = (not self.has_cloth) and mpm_mod.sorted_transfers_wanted(
+            self.mpm_cfg, self.dtype)
+
+        if use_sort:
+            def env_step_s(c, a):
+                core, params_s, perm = c
+                core, out = self._env_step_fn(
+                    core, a, params=params_s, assume_sorted=True)
+                return (core, params_s, perm), out
+            env_step = jax.checkpoint(env_step_s)
+        else:
+            env_step = jax.checkpoint(self._env_step_fn)
+
+        def _resort(carry):
+            core, params_s, perm = carry
+            mpm, bodies, rigid = core
+            q, _ = mpm_mod.sort_perm(
+                self.mpm_cfg, (mpm.x[0], mpm.x[1], mpm.x[2]))
+            return ((mpm_mod.permute_state(mpm, q), bodies, rigid),
+                    mpm_mod.permute_params(params_s, q), perm[q])
 
         def block_fn(carry, action_block):
             if grad_clip is not None:
-                carry = clip_cotangent(carry, float(grad_clip))
+                if use_sort:
+                    core, params_s, perm = carry
+                    carry = (clip_cotangent(core, float(grad_clip)),
+                             params_s, perm)
+                else:
+                    carry = clip_cotangent(carry, float(grad_clip))
+            if use_sort:
+                carry = _resort(carry)
             carry, (ovf, _) = jax.lax.scan(env_step, carry, action_block)
             if self.has_cloth:
                 mpm, cloth, _ = carry
                 sample = FrameSample(x=mpm.x_nd, bodies=None,
                                      cloth_x=cloth.x, cloth_v=cloth.v)
+            elif use_sort:
+                (mpm, bodies, _), _, perm = carry
+                # losses may index particles (TransportLoss halves): restore
+                # the original row order (row scatter on the major axis)
+                x_nd = mpm.x_nd
+                x_nd = jnp.zeros_like(x_nd).at[perm].set(x_nd)
+                sample = FrameSample(x=x_nd, bodies=bodies)
             else:
                 mpm, bodies, _ = carry
                 sample = FrameSample(x=mpm.x_nd, bodies=bodies)
             return carry, (sample, jnp.any(ovf))
+
+        def _sort_in(carry0):
+            """Original-order carry -> extended carry (identity perm; the
+            first block_fn's _resort establishes the sorted order)."""
+            n = carry0[0].x.shape[-1]
+            return (carry0, self.mpm_params,
+                    jnp.arange(n, dtype=jnp.int32))
+
+        def _sort_out(carry):
+            """Extended sorted carry -> original-order carry (rollout exit)."""
+            (mpm_f, bodies_f, rigid_f), _, perm = carry
+            inv = jnp.zeros_like(perm).at[perm].set(
+                jnp.arange(perm.shape[0], dtype=perm.dtype))
+            return (mpm_mod.permute_state(mpm_f, inv), bodies_f, rigid_f)
 
         # truncated BPTT for long chaotic horizons: gradients flow at most
         # ~bptt_window env steps back through the carry (segment boundaries
@@ -658,9 +719,10 @@ class SoftMacEnv:
             return jax.lax.stop_gradient(carry), ys
 
         def rollout(actions, carry0):
+            carry_run = _sort_in(carry0) if use_sort else carry0
             if n_segments > 1:
                 ab = actions.reshape(n_segments, seg_blocks, block, -1)
-                carry, (samples, ovf) = jax.lax.scan(segment_fn, carry0, ab)
+                carry, (samples, ovf) = jax.lax.scan(segment_fn, carry_run, ab)
                 samples = jax.tree.map(
                     lambda s: s.reshape((n_blocks,) + s.shape[2:]), samples)
                 ovf = ovf.reshape(-1)
@@ -683,9 +745,11 @@ class SoftMacEnv:
                         for k, v in self.loss.terms(s0).items():
                             terms_acc[k] = terms_acc[k] + v
                             loss_total = loss_total + v
+                if use_sort:
+                    carry = _sort_out(carry)
                 return loss_total, (terms_acc, carry)
             ab = actions.reshape(n_blocks, block, -1)
-            carry, (samples, ovf) = jax.lax.scan(block_fn, carry0, ab)
+            carry, (samples, ovf) = jax.lax.scan(block_fn, carry_run, ab)
 
             loss_total = jnp.zeros((), self.dtype)
             terms_acc = {"window_overflow": jnp.any(ovf)}
@@ -707,6 +771,8 @@ class SoftMacEnv:
                     for k, v in t0.items():
                         terms_acc[k] = terms_acc[k] + v
                         loss_total = loss_total + v
+            if use_sort:
+                carry = _sort_out(carry)
             return loss_total, (terms_acc, carry)
 
         if not with_grad:

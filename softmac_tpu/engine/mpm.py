@@ -118,19 +118,25 @@ def window_geometry(cfg: MPMConfig, x_vec, axis_name=None):
     return sizes, tuple(corner), overflow
 
 
-def axis_weights(cfg: MPMConfig, x_vec, sizes=None, corner=None):
+def axis_weights(cfg: MPMConfig, x_vec, sizes=None, corner=None,
+                 axes=(0, 1, 2)):
     """Dense per-axis B-spline weight matrices over the active window.
 
     Returns (W, WD): lists of 3 arrays (w_d, N) each. W[d][r, p] is the
     weight of particle p on window row r along axis d; WD[d] carries the
     extra (offset - fx) factor (unscaled — multiply by dx for P2G's dpos).
-    """
+    Axes not in ``axes`` get None (the chunked-kernel path builds its
+    y-weights inside the kernels and never materializes W[1]/WD[1])."""
     ng = cfg.n_grid
     if sizes is None:
         sizes = (ng, ng, ng)
         corner = (jnp.int32(0),) * 3
     W, WD = [], []
     for d in range(3):
+        if d not in axes:
+            W.append(None)
+            WD.append(None)
+            continue
         r = corner[d] + jnp.arange(sizes[d], dtype=jnp.int32)[:, None]
         pos = x_vec[d] * cfg.inv_dx
         b = jnp.floor(pos - 0.5).astype(jnp.int32)
@@ -170,6 +176,48 @@ def hyz_family(cfg: MPMConfig, W, WD):
     return xla_build(W[1], W[2], WD[1], WD[2])
 
 
+def sorted_transfers_wanted(cfg: MPMConfig, dtype) -> bool:
+    """Static decision: run the rollout with a SORTED-CARRY — particles ride
+    the whole differentiated rollout sorted by their B-spline base y-cell
+    (sorted once at rollout entry, re-keyed at block boundaries, unsorted
+    once at exit; see env._build_rollout). The fused kernels' particle tiles
+    then span a narrow y range, which the chunked kernel variants exploit
+    with per-tile 16-row y-windows (half the H-slab work). Physics is
+    permutation-invariant (P2G sums reorder at f32 roundoff only); every
+    external consumer (losses, state IO, render) sees the original order.
+
+    Measured (scripts/diag_sort_cost.py): permuting per env step INSIDE the
+    remat'd step costs ~45 ms/step at 1e5 particles — the gathers themselves
+    microbench at ~1 ms, the rest is the interaction with jax.checkpoint's
+    replay + scan buffering — hence the once-per-block design."""
+    return (_fused_transfer_wanted(cfg, dtype)
+            and not _os.environ.get("SOFTMAC_TPU_NO_SORT"))
+
+
+def sort_perm(cfg: MPMConfig, x_vec):
+    """(perm, inv): permutation sorting particles by base y-cell, and its
+    inverse. Gradients flow through the gathers that apply the permutation;
+    the sort key itself is discrete (stop_gradient)."""
+    pos = lax.stop_gradient(x_vec[1] * cfg.inv_dx)
+    key = jnp.floor(pos - 0.5).astype(jnp.int32)
+    perm = jnp.argsort(key)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype))
+    return perm, inv
+
+
+def permute_state(state: MPMState, perm) -> MPMState:
+    return MPMState(x=state.x[:, perm], v=state.v[:, perm],
+                    C=state.C[:, :, perm], F=state.F[:, :, perm])
+
+
+def permute_params(params: MPMParams, perm) -> MPMParams:
+    return params.replace(
+        mu=params.mu[perm], lam=params.lam[perm],
+        yield_stress=params.yield_stress[perm],
+        control_idx=params.control_idx[perm])
+
+
 def _fused_transfer_wanted(cfg: MPMConfig, dtype) -> bool:
     """Static decision: route the B-spline transfers through the fully-fused
     Pallas kernels (ops/pallas_fused.py). Requires f32, an active window with
@@ -180,6 +228,17 @@ def _fused_transfer_wanted(cfg: MPMConfig, dtype) -> bool:
         return False
     from softmac_tpu.ops import pallas_fused
     return pallas_fused.kernel_wanted(cfg.active_window)
+
+
+def _chunked_transfer_wanted(cfg: MPMConfig, dtype) -> bool:
+    """Static decision: upgrade the fused transfers to the y-chunked family
+    (ops/pallas_chunked.py) when the window is tall enough to profit
+    (wy >= 24). Only consulted when the caller asserts sorted particle
+    order (substep's ``assume_sorted``) — the chunked kernels truncate each
+    tile to a 16-row y-window, valid only over y-sorted particles."""
+    from softmac_tpu.ops import pallas_chunked
+    return (pallas_chunked.kernel_wanted(cfg.active_window)
+            and not _os.environ.get("SOFTMAC_TPU_NO_CHUNKED"))
 
 
 def _p2g_channels(cfg: MPMConfig, v_vec, C, stress, impulse):
@@ -351,6 +410,7 @@ def substep(
     k,                      # substep index within the env step (0..substeps-1)
     mpm_action=None,        # (n_controllers, 3) or None
     axis_name=None,         # particle-shard mesh axis (multi-chip execution)
+    assume_sorted=False,    # caller asserts y-cell-sorted particle order
 ):
     """One MLS-MPM substep with contact. Returns (new_state, ext_f (B, 6)).
 
@@ -404,18 +464,39 @@ def substep(
 
     # --- dense B-spline transfer operators (active window) -------------------
     sizes, corner, overflow = window_geometry(cfg, x, axis_name)
-    W, WD = axis_weights(cfg, x, sizes, corner)
     use_fused = _fused_transfer_wanted(cfg, dtype)
-    if use_fused:
+    use_chunked = (use_fused and assume_sorted
+                   and _chunked_transfer_wanted(cfg, dtype))
+    wx = sizes[0]
+    Hyz = HyzDy = HyzDz = None
+    if use_chunked:
+        # y-chunked family: no (wy, N) y-weights exist anywhere — the
+        # kernels rebuild them per tile from the scaled y position row.
+        from softmac_tpu.ops import pallas_chunked as pc
+        fam = pc.family(sizes[1])
+        py = x[1] * cfg.inv_dx
+        meta, c_ovf = pc.chunk_meta(py, corner[1], sizes[1])
+        if axis_name is not None:
+            c_ovf = lax.pmax(c_ovf.astype(jnp.int32), axis_name) > 0
+        overflow = overflow | c_ovf
+        pv = jnp.zeros((8, x[0].shape[0]), dtype).at[0].set(py)
+        W, WD = axis_weights(cfg, x, sizes, corner, axes=(0, 2))
+    elif use_fused:
         from softmac_tpu.ops import pallas_fused as pf
+        W, WD = axis_weights(cfg, x, sizes, corner)
         ws6 = (W[0], WD[0], W[1], WD[1], W[2], WD[2])
-        wx = sizes[0]
-        Hyz = HyzDy = HyzDz = None
     else:
+        W, WD = axis_weights(cfg, x, sizes, corner)
         Hyz, HyzDy, HyzDz = hyz_family(cfg, W, WD)
 
     # --- P2G ---------------------------------------------------------------
-    if use_fused:
+    if use_chunked:
+        chan = _p2g_channels(cfg, v, C, stress, impulse).at[13, :].set(py)
+        gm, gmom = lax.platform_dependent(
+            W[0], WD[0], W[2], WD[2], chan, meta,
+            tpu=fam.p2g, default=fam.p2g_ref)
+        grid = (gm, gmom[:, :wx], gmom[:, wx:2 * wx], gmom[:, 2 * wx:])
+    elif use_fused:
         chan = _p2g_channels(cfg, v, C, stress, impulse)
         gm, gmom = lax.platform_dependent(
             *ws6, chan, tpu=pf.p2g, default=pf._p2g_ref)
@@ -432,7 +513,12 @@ def substep(
 
     if cfg.collision_type == CONTACT_MIXED:
         grid_v_mixed = boundary_condition(cfg, coords, g_v)
-        if use_fused:
+        if use_chunked:
+            vt = lax.platform_dependent(
+                W[0], W[2], pv, *grid_v_mixed, meta,
+                tpu=fam.gather, default=fam.gather_ref)
+            v_tmp = (vt[0], vt[1], vt[2])
+        elif use_fused:
             vt = lax.platform_dependent(
                 W[0], W[1], W[2], *grid_v_mixed,
                 tpu=pf.gather, default=pf._gather_ref)
@@ -454,7 +540,14 @@ def substep(
         # splat the velocity correction back (grid_op_mixed4, alpha = 2.0)
         alpha = 2.0
         dv = m33.vsub(v_tmp, v_tgt)
-        if use_fused:
+        if use_chunked:
+            vals = pv.at[0:3].set(
+                jnp.stack([-alpha * dv[d] for d in range(3)])).at[3].set(py)
+            cg = lax.platform_dependent(
+                W[0], W[2], vals, meta,
+                tpu=fam.splat, default=fam.splat_ref)
+            corr = [cg[:, d * wx:(d + 1) * wx] for d in range(3)]
+        elif use_fused:
             cg = lax.platform_dependent(
                 W[0], W[1], W[2],
                 jnp.stack([-alpha * dv[d] for d in range(3)]),
@@ -491,7 +584,16 @@ def substep(
     grid_v_out = cfl_clamp(cfg, grid_v_out)
 
     # --- G2P + advection -----------------------------------------------------
-    if use_fused:
+    if use_chunked:
+        out16 = lax.platform_dependent(
+            W[0], WD[0], W[2], WD[2], pv, *grid_v_out, meta,
+            tpu=fam.g2p, default=fam.g2p_ref)
+        v_new = (out16[0], out16[1], out16[2])
+        s = 4.0 * cfg.inv_dx
+        C_new = tuple(tuple(s * out16[3 + 3 * d + j] for j in range(3))
+                      for d in range(3))
+        x_new = tuple(x[d] + cfg.dt * v_new[d] for d in range(3))
+    elif use_fused:
         out16 = lax.platform_dependent(
             *ws6, *grid_v_out,
             tpu=pf.g2p, default=pf._g2p_ref)

@@ -45,6 +45,43 @@ def test_rollout_matches_stepwise(pour_vel_env):
     np.testing.assert_allclose(x_step, x_roll, atol=1e-12)
 
 
+def test_sorted_carry_rollout_matches_default(pour_vel_env, monkeypatch):
+    """The sorted-carry rollout (env._build_rollout use_sort: sort at entry,
+    re-key per block, params+perm riding the carry, unsort at exit) must be
+    physics- and gradient-neutral. On CPU f64 the chunked kernels stay off,
+    so this isolates the permutation plumbing itself."""
+    from softmac_tpu.engine import mpm as mpm_mod
+    from softmac_tpu import SoftMacEnv, load
+
+    env = pour_vel_env
+    actions = np.zeros((4, 12))
+    actions[:, 2] = 2.0
+    ref = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=2)
+
+    cfg = load(str(ROOT / "softmac_tpu/config/demo_pour_vel_config.py"))
+    env_s = SoftMacEnv(cfg)
+    monkeypatch.setattr(mpm_mod, "sorted_transfers_wanted",
+                        lambda cfg, dtype: True)
+    out = env_s.rollout_and_grad(actions, loss_start_frame=0, loss_stride=2)
+
+    np.testing.assert_allclose(float(out["loss"]), float(ref["loss"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(out["carry"][0].x, ref["carry"][0].x,
+                               atol=1e-12)
+    np.testing.assert_allclose(out["action_grad"], ref["action_grad"],
+                               rtol=1e-9, atol=1e-12)
+
+    # segmented (truncated-BPTT) path threads the extended carry too
+    ref_b = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=2,
+                                 bptt_window=2)
+    out_b = env_s.rollout_and_grad(actions, loss_start_frame=0,
+                                   loss_stride=2, bptt_window=2)
+    np.testing.assert_allclose(float(out_b["loss"]), float(ref_b["loss"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(out_b["action_grad"], ref_b["action_grad"],
+                               rtol=1e-9, atol=1e-12)
+
+
 def test_action_gradient_matches_fd(pour_vel_env):
     """jax.grad through the coupled rollout vs central differences."""
     env = pour_vel_env

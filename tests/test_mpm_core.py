@@ -195,3 +195,36 @@ def test_active_window_matches_full_grid():
     cfg_bad = dataclasses.replace(cfg, active_window=(4, 4, 4))
     _, _, aux = mpm.substep(cfg_bad, params, (), state, bodies, 0)
     assert bool(aux["window_overflow"])
+
+
+def test_sorted_substep_equivariant():
+    """Spatial sort (perm) -> substep -> unsort (inv) must equal the plain
+    substep: the per-env-step y-cell sort (env.py) is physics-neutral. Uses
+    per-particle-VARYING params so the params permutation is exercised."""
+    cfg, params, state, _ = make_scene(n=200, seed=13)
+    rng = np.random.RandomState(14)
+    params = params.replace(
+        mu=params.mu * (1.0 + 0.1 * jnp.asarray(rng.rand(200))),
+        lam=params.lam * (1.0 + 0.1 * jnp.asarray(rng.rand(200))))
+    state = state.replace(v=jnp.asarray(0.5 * rng.randn(3, 200)))
+    bodies = BodyState.identity(0, jnp.float64)
+
+    ref = state
+    for _ in range(5):
+        ref, _, _ = mpm.substep(cfg, params, (), ref, bodies, 0)
+
+    perm, inv = mpm.sort_perm(cfg, (state.x[0], state.x[1], state.x[2]))
+    np.testing.assert_array_equal(np.asarray(perm)[np.asarray(inv)],
+                                  np.arange(200))
+    s = mpm.permute_state(state, perm)
+    p = mpm.permute_params(params, perm)
+    for _ in range(5):
+        s, _, _ = mpm.substep(cfg, p, (), s, bodies, 0)
+    s = mpm.permute_state(s, inv)
+    np.testing.assert_allclose(s.x, ref.x, atol=1e-12)
+    np.testing.assert_allclose(s.v, ref.v, atol=1e-12)
+    np.testing.assert_allclose(s.F, ref.F, atol=1e-12)
+
+    # sorted order is monotone in the base y-cell
+    key = np.floor(np.asarray(state.x[1]) * cfg.inv_dx - 0.5).astype(int)
+    assert (np.diff(key[np.asarray(perm)]) >= 0).all()

@@ -1,0 +1,222 @@
+"""Y-chunked transfer kernels (ops/pallas_chunked.py) vs the dense
+reference path, in Pallas interpret mode on CPU.
+
+Inputs are SORTED by base y-cell (the production precondition established
+by mpm.sort_perm in env._env_step_fn); _TILE_C is shrunk to 256 so n=700
+spans 3 tiles and exercises the dynamic-block accumulation, the first-visit
+zeroing, and the A/B combine masks. When no tile overflows its 16-row
+window, the chunked results must equal the FULL dense references (the
+truncation drops nothing)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from softmac_tpu.engine import mpm
+from softmac_tpu.engine.types import MPMConfig
+from softmac_tpu.ops import m33, pallas_chunked, pallas_fused
+
+pytestmark = pytest.mark.skipif(not pallas_chunked._HAS_PALLAS,
+                                reason="pallas unavailable")
+
+WINDOW = (40, 32, 16)
+WX, WY, WZ = WINDOW
+N = 700
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    cfg = MPMConfig(n_particles=N, n_grid=64, dt=1e-4,
+                    substeps=19, active_window=WINDOW)
+    x = (0.42 + 0.16 * rng.random((3, N))).astype(np.float32)
+    x = x[:, np.argsort(np.floor(x[1] * cfg.inv_dx - 0.5))]  # sorted by y
+    x_vec = tuple(jnp.asarray(x[d]) for d in range(3))
+    sizes, corner, _ = mpm.window_geometry(cfg, x_vec)
+    W, WD = mpm.axis_weights(cfg, x_vec, sizes, corner)
+    py = x_vec[1] * cfg.inv_dx
+    meta, ovf = pallas_chunked.chunk_meta(py, corner[1], WY)
+    assert not bool(ovf)
+    v = tuple(jnp.asarray(rng.standard_normal(N), jnp.float32)
+              for _ in range(3))
+    C = tuple(tuple(jnp.asarray(0.1 * rng.standard_normal(N), jnp.float32)
+                    for _ in range(3)) for _ in range(3))
+    stress = tuple(tuple(jnp.asarray(rng.standard_normal(N), jnp.float32)
+                         for _ in range(3)) for _ in range(3))
+    impulse = tuple(jnp.asarray(1e-3 * rng.standard_normal(N), jnp.float32)
+                    for _ in range(3))
+    return cfg, x_vec, py, W, WD, meta, v, C, stress, impulse
+
+
+@pytest.fixture()
+def fam(monkeypatch):
+    monkeypatch.setattr(pallas_chunked, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_chunked, "_TILE_C", 256)
+    pallas_chunked.family.cache_clear()
+    yield pallas_chunked.family(WY)
+    pallas_chunked.family.cache_clear()
+
+
+def _chan(cfg, py, v, C, stress, impulse):
+    chan = mpm._p2g_channels(cfg, v, C, stress, impulse)
+    return chan.at[13, :].set(py)
+
+
+def test_meta(fam):
+    _, _, py, _, _, meta, *_ = _setup()
+    m = np.asarray(meta)
+    assert (np.diff(m[0]) >= 0).all()          # monotone block offsets
+    assert m[1, 0] == 1                        # first tile zeroes
+    assert (m[0] * 8 == m[3]).all()
+
+
+def test_p2g_chunked_matches_dense(fam):
+    cfg, x_vec, py, W, WD, meta, v, C, stress, impulse = _setup()
+    Hyz, HyzDy, HyzDz = mpm.hyz_family(cfg, W, WD)
+    ref = mpm.p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
+    chan = _chan(cfg, py, v, C, stress, impulse)
+
+    gm, gmom = fam.p2g(W[0], WD[0], W[2], WD[2], chan, meta)
+    np.testing.assert_allclose(gm, ref[0], rtol=2e-3, atol=2e-3)
+    for d in range(3):
+        np.testing.assert_allclose(gmom[:, d * WX:(d + 1) * WX], ref[1 + d],
+                                   rtol=2e-3, atol=2e-3)
+
+    # the truncation-aware XLA ref agrees too (it is the CPU branch)
+    gm_r, gmom_r = fam.p2g_ref(W[0], WD[0], W[2], WD[2], chan, meta)
+    np.testing.assert_allclose(gm_r, ref[0], rtol=1e-5, atol=1e-5)
+
+
+def test_g2p_gather_splat_chunked_match_dense(fam):
+    cfg, x_vec, py, W, WD, meta, v, C, stress, impulse = _setup(seed=1)
+    rng = np.random.default_rng(2)
+    gv = tuple(jnp.asarray(rng.standard_normal((WY * WZ, WX)), jnp.float32)
+               for _ in range(3))
+    Hyz, HyzDy, HyzDz = mpm.hyz_family(cfg, W, WD)
+    pv = jnp.zeros((8, N), jnp.float32).at[0, :].set(py)
+
+    v_ref, C_ref, _ = mpm.g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, gv, v)
+    out = fam.g2p(W[0], WD[0], W[2], WD[2], pv, *gv, meta)
+    scale = 4.0 * cfg.inv_dx
+    for d in range(3):
+        np.testing.assert_allclose(out[d], v_ref[d], rtol=2e-3, atol=2e-3)
+        for j in range(3):
+            np.testing.assert_allclose(scale * out[3 + 3 * d + j],
+                                       C_ref[d][j], rtol=2e-3, atol=3e-3)
+
+    got = fam.gather(W[0], W[2], pv, *gv, meta)
+    vg_ref = mpm.gather_dense(cfg, W, Hyz, gv)
+    for d in range(3):
+        np.testing.assert_allclose(got[d], vg_ref[d], rtol=2e-3, atol=2e-3)
+
+    vals = jnp.asarray(rng.standard_normal((3, N)), jnp.float32)
+    vals8 = jnp.zeros((8, N), jnp.float32).at[0:3].set(vals).at[3].set(py)
+    s_ref = mpm.splat_channels(cfg, W, Hyz, [vals[d] for d in range(3)])
+    got = fam.splat(W[0], W[2], vals8, meta)
+    for d in range(3):
+        np.testing.assert_allclose(got[:, d * WX:(d + 1) * WX], s_ref[d],
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_substep_chunked_route_matches_dense():
+    """End-to-end substep over SORTED particles: the chunked route
+    (platform_dependent picks the truncation-aware XLA refs on CPU; the
+    kernels themselves are covered in interpret mode above) must match the
+    dense production path, and the production sort order must keep every
+    tile inside its 16-row window (no overflow)."""
+    from softmac_tpu.engine.types import MPMParams, MPMState, BodyState
+
+    n = 400
+    rng = np.random.default_rng(9)
+    cfg = MPMConfig(n_particles=n, n_grid=64, dt=1e-4, substeps=19,
+                    collision_type=2,  # CONTACT_MIXED, no prims -> pure MPM
+                    active_window=WINDOW)
+    params = MPMParams(
+        mu=jnp.full((n,), 416.67, jnp.float32),
+        lam=jnp.full((n,), 277.78, jnp.float32),
+        yield_stress=jnp.full((n,), 1e30, jnp.float32),
+        gravity=jnp.asarray([0.0, -9.8, 0.0], jnp.float32),
+        control_idx=jnp.full((n,), -1, jnp.int32),
+        friction=jnp.zeros((0,), jnp.float32),
+        softness=jnp.zeros((0,), jnp.float32))
+    # n=400 << _TILE_C: the whole scene is ONE tile, so its full y extent
+    # must fit the 16-row window — keep y tight (at production N each tile
+    # holds 1536 neighbors spanning 1-3 rows).
+    x = np.asarray(0.40 + 0.2 * rng.random((3, n)), np.float32)
+    x[1] = 0.45 + 0.35 * (x[1] - 0.40)
+    x = jnp.asarray(x)
+    perm, _ = mpm.sort_perm(cfg, (x[0], x[1], x[2]))
+    state = MPMState(
+        x=x[:, perm],
+        v=jnp.asarray(0.1 * rng.standard_normal((3, n)), jnp.float32),
+        C=jnp.asarray(0.05 * rng.standard_normal((3, 3, n)), jnp.float32),
+        F=jnp.asarray(np.broadcast_to(np.eye(3, dtype=np.float32)[:, :, None],
+                                      (3, 3, n)).copy()))
+    bodies = BodyState(pos=jnp.zeros((0, 3), jnp.float32),
+                       quat=jnp.zeros((0, 4), jnp.float32),
+                       v=jnp.zeros((0, 3), jnp.float32),
+                       w=jnp.zeros((0, 3), jnp.float32))
+
+    assert mpm._chunked_transfer_wanted(cfg, jnp.float32)
+    s_c, _, aux = mpm.substep(cfg, params, (), state, bodies, 0,
+                              assume_sorted=True)
+    assert not bool(aux["window_overflow"])
+
+    import unittest.mock as mock
+    with mock.patch.object(mpm, "_fused_transfer_wanted",
+                           lambda *a: False):
+        s_d, _, _ = mpm.substep(cfg, params, (), state, bodies, 0)
+    np.testing.assert_allclose(s_c.x, s_d.x, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s_c.v, s_d.v, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(s_c.C, s_d.C, rtol=1e-3, atol=1e-3)
+
+
+def test_chunked_grads_match_refs(fam):
+    """Cotangents of every differentiable input — including the py rows
+    that carry the in-kernel Wy build — vs jax.grad of the truncation-aware
+    XLA references."""
+    cfg, x_vec, py, W, WD, meta, v, C, stress, impulse = _setup(seed=3)
+    rng = np.random.default_rng(4)
+    gv = tuple(jnp.asarray(rng.standard_normal((WY * WZ, WX)), jnp.float32)
+               for _ in range(3))
+    chan = _chan(cfg, py, v, C, stress, impulse)
+    pv = jnp.zeros((8, N), jnp.float32).at[0, :].set(py)
+
+    pm = jnp.asarray(rng.standard_normal((WY * WZ, WX)), jnp.float32)
+    pmom = jnp.asarray(rng.standard_normal((WY * WZ, 3 * WX)), jnp.float32)
+    args = (W[0], WD[0], W[2], WD[2], chan)
+
+    def loss_p2g(fn, a):
+        gm, gmom = fn(*a, meta)
+        return jnp.sum(gm * pm) + jnp.sum(gmom * pmom)
+
+    g_k = jax.grad(lambda a: loss_p2g(fam.p2g, a))(args)
+    g_r = jax.grad(lambda a: loss_p2g(fam.p2g_ref, a))(args)
+    for a, b in zip(g_k, g_r):
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+    pg = jnp.asarray(rng.standard_normal((16, N)), jnp.float32)
+    args = (W[0], WD[0], W[2], WD[2], pv) + gv
+
+    def loss_g2p(fn, a):
+        return jnp.sum(fn(*a, meta) * pg)
+
+    g_k = jax.grad(lambda a: loss_g2p(fam.g2p, a))(args)
+    g_r = jax.grad(lambda a: loss_g2p(fam.g2p_ref, a))(args)
+    for a, b in zip(g_k, g_r):
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+    pv3 = jnp.asarray(rng.standard_normal((3, N)), jnp.float32)
+    args = (W[0], W[2], pv) + gv
+    g_k = jax.grad(lambda a: jnp.sum(fam.gather(*a, meta) * pv3))(args)
+    g_r = jax.grad(lambda a: jnp.sum(fam.gather_ref(*a, meta) * pv3))(args)
+    for a, b in zip(g_k, g_r):
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+    vals = jnp.asarray(rng.standard_normal((3, N)), jnp.float32)
+    vals8 = jnp.zeros((8, N), jnp.float32).at[0:3].set(vals).at[3].set(py)
+    ps = jnp.asarray(rng.standard_normal((WY * WZ, 3 * WX)), jnp.float32)
+    args = (W[0], W[2], vals8)
+    g_k = jax.grad(lambda a: jnp.sum(fam.splat(*a, meta) * ps))(args)
+    g_r = jax.grad(lambda a: jnp.sum(fam.splat_ref(*a, meta) * ps))(args)
+    for a, b in zip(g_k, g_r):
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)

@@ -189,6 +189,9 @@ def test_substep_fused_route_matches_dense(monkeypatch):
                        v=jnp.zeros((0, 3), jnp.float32),
                        w=jnp.zeros((0, 3), jnp.float32))
 
+    # pin to the fused family (the chunked upgrade needs sorted particles;
+    # its substep route is covered in tests/test_pallas_chunked.py)
+    monkeypatch.setattr(mpm, "_chunked_transfer_wanted", lambda *a: False)
     s_fused, _, _ = mpm.substep(cfg, params, (), state, bodies, 0)
     monkeypatch.setattr(mpm, "_fused_transfer_wanted", lambda *a: False)
     s_dense, _, _ = mpm.substep(cfg, params, (), state, bodies, 0)
