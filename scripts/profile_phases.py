@@ -14,6 +14,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
+SORTED = "--sorted" in sys.argv   # pre-sort by y-cell + assume_sorted=True
+                                  # (the production rollout configuration)
+
 
 def main():
     import jax
@@ -31,6 +34,8 @@ def main():
     tiled = np.tile(base_state[:, :3], (reps, 1))[:100_000]
     tiled += rng.randn(100_000, 3) * 1e-4
     tiled += np.array([0.0, 0.04, 0.0])
+    if SORTED:
+        tiled = tiled[np.argsort(np.floor(tiled[:, 1] * 64.0 - 0.5))]
     env = SoftMacEnv(cfg, init_particles=tiled)
     env.reset()
 
@@ -63,7 +68,7 @@ def main():
         @jax.jit
         def run(s):
             def body(s, _):
-                s, _, _ = mpm.substep(vcfg, params, prims, s, bodies, 0)
+                s, _, _ = mpm.substep(vcfg, params, prims, s, bodies, 0, assume_sorted=SORTED)
                 return s, None
             s, _ = jax.lax.scan(body, s, None, length=50)
             return s
@@ -72,7 +77,7 @@ def main():
         def run_grad(s):
             def loss(s):
                 def body(c, _):
-                    c, _, _ = mpm.substep(vcfg, params, prims, c, bodies, 0)
+                    c, _, _ = mpm.substep(vcfg, params, prims, c, bodies, 0, assume_sorted=SORTED)
                     return c, None
                 def blk(c, _):
                     c = jax.checkpoint(

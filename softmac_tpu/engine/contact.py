@@ -94,7 +94,26 @@ def collide_particle(prim: SDFParams, body_pos, body_quat, body_v, body_w,
     Here the friction impulse is Coulomb-clamped so it can stop relative
     sliding but never reverse it — identical semantics in the non-overshooting
     regime, unconditionally stable outside it.
+
+    On TPU (f32) everything after the table gather runs in one fused Pallas
+    kernel (ops/pallas_contact.py), same architecture as collide_mixed.
     """
+    from softmac_tpu.ops import pallas_contact as pc
+    if pc.kernel_wanted(x[0].dtype):
+        import functools
+        from jax import lax
+        fused = functools.partial(pc.collide_particle_fused,
+                                  p_mass=p_mass, dt=dt)
+        xla = functools.partial(_collide_particle_xla, p_mass=p_mass, dt=dt)
+        return lax.platform_dependent(
+            prim, body_pos, body_quat, body_v, body_w, friction, x, p_v,
+            tpu=fused, default=xla)
+    return _collide_particle_xla(prim, body_pos, body_quat, body_v, body_w,
+                                 friction, x, p_v, p_mass=p_mass, dt=dt)
+
+
+def _collide_particle_xla(prim: SDFParams, body_pos, body_quat, body_v,
+                          body_w, friction, x, p_v, *, p_mass, dt):
     bp, bq, bv, bw = _body_tuples(body_pos, body_quat, body_v, body_w)
     dist, D = sample_sdf_normal_world(prim, bp, bq, x)
     c = dist - CONTACT_THRESHOLD
@@ -153,8 +172,14 @@ def collide_mixed(prim: SDFParams, body_pos, body_quat, body_v, body_w,
 def _collide_mixed_xla(prim: SDFParams, body_pos, body_quat, body_v, body_w,
                        friction, softness, x, p_v, life, *, p_mass, dt,
                        push_cap=None):
+    from softmac_tpu.engine import sdf as sdf_mod
+
     bp, bq, bv, bw = _body_tuples(body_pos, body_quat, body_v, body_w)
-    dist, D = sample_sdf_normal_world(prim, bp, bq, x)
+    qinv = m33.qnorm(m33.qconj(bq))
+    p_loc = m33.qrot(qinv, m33.vsub(x, bp))
+    rows, base, fx0 = sdf_mod.gather_rows(prim, p_loc)
+    dist, D_loc = sdf_mod.interp_rows(rows, fx0, sdf_mod._in_box(prim, p_loc))
+    D = m33.qrot(bq, D_loc)
     mask = dist <= CONTACT_THRESHOLD
     dist_s = jnp.where(mask, dist, 0.0)
 
@@ -180,9 +205,16 @@ def _collide_mixed_xla(prim: SDFParams, body_pos, body_quat, body_v, body_w,
     v_near = m33.vwhere(dist_s > 0, v_soft, v_contact)
     p_v1 = m33.vwhere(mask & (nc < 0), v_near, p_v)
 
-    # move penetrated particles toward the surface over the remaining window
+    # move penetrated particles toward the surface over the remaining
+    # window; the forecast sample reuses the FIRST gather's stencil rows
+    # (sdf.forecast_fx) — the second table gather, not the math, is the
+    # cost floor of contact on TPU
     x_new = m33.vadd(m33.vscale(p_v1, dt), x)
-    sdf2, n2 = sample_sdf_normal_world(prim, bp, bq, x_new)
+    p_loc2 = m33.qrot(qinv, m33.vsub(x_new, bp))
+    sdf2, n2_loc = sdf_mod.interp_rows(
+        rows, sdf_mod.forecast_fx(prim, base, p_loc2),
+        sdf_mod._in_box(prim, p_loc2))
+    n2 = m33.qrot(bq, n2_loc)
     pen = mask & (sdf2 < 0)
     sdf2_s = jnp.where(pen, sdf2, 0.0)
     push = -(sdf2_s / dt) * life  # >= 0: outward along n2

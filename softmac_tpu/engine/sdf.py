@@ -78,26 +78,34 @@ def sample_normal_local(prim: SDFParams, p):
     return m33.vwhere(in_box, n, (zero, jnp.ones_like(norm), zero))
 
 
-def sample_sdf_normal_local(prim: SDFParams, p):
-    """Fused trilinear sample of (sdf, normal) with ONE row gather per point:
-    prim.neighborhood packs each base cell's full 2x2x2 x 4-channel stencil
-    into a 32-wide row, so the only random access is a single (N,)-indexed
-    gather — per-index cost dominates gathers on TPU."""
-    res = prim.res
-    in_box = ((p[0] >= prim.lower[0]) & (p[0] < prim.upper[0])
-              & (p[1] >= prim.lower[1]) & (p[1] < prim.upper[1])
-              & (p[2] >= prim.lower[2]) & (p[2] < prim.upper[2]))
+def _in_box(prim: SDFParams, p):
+    return ((p[0] >= prim.lower[0]) & (p[0] < prim.upper[0])
+            & (p[1] >= prim.lower[1]) & (p[1] < prim.upper[1])
+            & (p[2] >= prim.lower[2]) & (p[2] < prim.upper[2]))
 
-    base, fx = [], []
+
+def gather_rows(prim: SDFParams, p):
+    """ONE row gather of the 2x2x2 x 4-channel stencil at base(p):
+    prim.neighborhood packs each base cell's stencil into a 32-wide row, so
+    the only random access is a single (N,)-indexed gather — per-index cost
+    dominates gathers on TPU. Returns (rows (..., 32), base 3 x f32, fx)."""
+    res = prim.res
+    base, basef, fx = [], [], []
     for d in range(3):
         pos = (p[d] - prim.lower[d]) * prim.inv_dx
         b = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res[d] - 2)
         base.append(b)
-        fx.append(jnp.clip(pos - b.astype(pos.dtype), 0.0, 1.0))
-
+        basef.append(b.astype(pos.dtype))
+        fx.append(jnp.clip(pos - basef[d], 0.0, 1.0))
     rows = prim.neighborhood[
         (base[0] * res[1] + base[1]) * res[2] + base[2]]   # (..., 32)
+    return rows, tuple(basef), tuple(fx)
 
+
+def interp_rows(rows, fx, in_box):
+    """Trilinear (sdf, unit normal) from the stencil rows. fx may lie
+    outside [0, 1] (forecast points interpolated against another point's
+    stencil: linear extrapolation of that cell's trilinear patch)."""
     sdf = 0.0
     nx = ny = nz = 0.0
     c = 0
@@ -118,6 +126,25 @@ def sample_sdf_normal_local(prim: SDFParams, p):
     zero = jnp.zeros_like(norm)
     n = m33.vwhere(in_box, n, (zero, jnp.ones_like(norm), zero))
     return jnp.where(in_box, sdf, BIG), n
+
+
+def sample_sdf_normal_local(prim: SDFParams, p):
+    """Fused trilinear sample of (sdf, normal) with ONE row gather per
+    point (see gather_rows)."""
+    rows, _, fx = gather_rows(prim, p)
+    return interp_rows(rows, fx, _in_box(prim, p))
+
+
+def forecast_fx(prim: SDFParams, base, p2):
+    """Trilinear fractions of forecast point p2 RELATIVE to another point's
+    stencil base — unclamped, so interp_rows linearly extrapolates that
+    cell's patch when p2 crossed a cell face. Exact whenever
+    base(p2) == base; at CFL-bounded forecast distances (|p2-p| <= 0.5 dx)
+    only a few % of points cross, with O(h^2) patch-extrapolation error.
+    This trades the reference's second table query
+    (primitive_base.py:167-170) for zero gather cost."""
+    return tuple((p2[d] - prim.lower[d]) * prim.inv_dx - base[d]
+                 for d in range(3))
 
 
 def _inv_trans(p, bp, bq):

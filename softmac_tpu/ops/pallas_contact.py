@@ -2,16 +2,22 @@
 
 ``contact.collide_mixed`` (primitive_base.py:139-181 semantics) is two SDF
 queries plus ~60 elementwise vector ops and a friction-cone select chain.
-On TPU the two (N, 32)-row table gathers are at their bandwidth/index floor
-(~1.2 ms each at 1e5 particles) but the surrounding XLA program costs
-another ~2-3 ms per call in layout/pass overhead. These kernels fuse
-EVERYTHING between the gathers into two elementwise pallas_calls:
+On TPU a (N, 32)-row table gather is at its per-index floor (~1 ms at 1e5
+particles) and the surrounding XLA program costs another ~2-3 ms per call
+in layout/pass overhead. These kernels fuse EVERYTHING after the single
+gather into two elementwise pallas_calls:
 
     idx1 = cell(x)            [XLA]     rows1 = table[:, idx1]   [XLA gather]
     kernel A: trilinear (sdf, normal) + friction-cone response -> p_v1, x_new
-    idx2 = cell(x_new)        [XLA]     rows2 = table[:, idx2]   [XLA gather]
-    kernel B: penetration push-out -> p_v_out, b_f
+    kernel B: forecast sample from the SAME rows (fractions relative to
+              base(x), sdf.forecast_fx semantics) + penetration push-out
+              -> p_v_out, b_f
     tail [XLA]: mask b_f, torque cross, wrench reduction
+
+The forecast point moves well under one table cell per substep (CFL), so
+reusing the stage-1 stencil is exact for non-face-crossing particles and a
+linear patch extrapolation for the rest — the XLA path implements the
+identical semantics, so CPU and TPU agree to f32 roundoff.
 
 The gathers use the TRANSPOSED (32, M) table view so rows land directly in
 the (32, T) sublane-major block the kernels consume; the transpose of the
@@ -175,20 +181,37 @@ def _mixed1_math(rows, xv, s, nd, res, dt):
          dist, jnp.zeros_like(dist)], axis=0)
 
 
-def _mixed2_math(rows2, xv, st1, s, nd, res, dt, p_mass):
-    """Stage 2: penetration push-out. (8, T) out rows: p_v_out (0-2),
-    unmasked reaction force (3-5), zeros (6-7)."""
+def _mixed2_math(rows, xv, st1, s, nd, res, dt, p_mass):
+    """Stage 2: penetration push-out. Reuses stage 1's stencil rows: the
+    forecast point x_new = x + dt*p_v1 moves well under one table cell
+    (CFL), so it interpolates the SAME 2x2x2 patch with fractions relative
+    to base(x) — exact whenever base(x_new) == base(x), linear patch
+    extrapolation for the few face-crossers (sdf.forecast_fx semantics;
+    the XLA path in contact._collide_mixed_xla does the identical thing).
+    Eliminates the second (N, 32) table gather — the gather, not the math,
+    is the contact cost floor (~1 ms per prim per substep at 1e5).
+    (8, T) out rows: p_v_out (0-2), unmasked reaction force (3-5),
+    zeros (6-7)."""
     bp, bq, _bv, _bw, _fr, _so, life = s
     lower, upper, inv_dx, push_cap = nd
+    x = (xv[0:1, :], xv[1:2, :], xv[2:3, :])
     v = (xv[3:4, :], xv[4:5, :], xv[5:6, :])
     p_v1 = (st1[0:1, :], st1[1:2, :], st1[2:3, :])
     x_new = (st1[3:4, :], st1[4:5, :], st1[5:6, :])
     dist1 = st1[6:7, :]
 
     qinv = m33.qnorm(m33.qconj(bq))
-    p_loc = m33.qrot(qinv, m33.vsub(x_new, bp))
-    in_box, fx = _local_and_fx(p_loc, lower, upper, inv_dx, res)
-    sdf2, n2_loc = _combine(rows2, fx, in_box)
+    p_loc1 = m33.qrot(qinv, m33.vsub(x, bp))
+    p_loc2 = m33.qrot(qinv, m33.vsub(x_new, bp))
+    in_box = ((p_loc2[0] >= lower[0]) & (p_loc2[0] < upper[0])
+              & (p_loc2[1] >= lower[1]) & (p_loc2[1] < upper[1])
+              & (p_loc2[2] >= lower[2]) & (p_loc2[2] < upper[2]))
+    fx = []
+    for d in range(3):
+        pos1 = (p_loc1[d] - lower[d]) * inv_dx
+        b1 = jnp.clip(jnp.floor(pos1), 0.0, float(res[d] - 2))
+        fx.append((p_loc2[d] - lower[d]) * inv_dx - b1)   # unclamped
+    sdf2, n2_loc = _combine(rows, fx, in_box)
     n2 = m33.qrot(bq, n2_loc)
 
     mask = dist1 <= CONTACT_THRESHOLD
@@ -205,6 +228,47 @@ def _mixed2_math(rows2, xv, st1, s, nd, res, dt, p_mass):
          (v[1] - p_v_out[1]) * (p_mass / dt),
          (v[2] - p_v_out[2]) * (p_mass / dt),
          zero, zero], axis=0)
+
+
+def _particle_math(rows, xv, s, nd, res, dt, p_mass):
+    """Penalty particle contact (contact.collide_particle semantics,
+    Coulomb-clamped friction): trilinear sample + spring impulse, one
+    stage. (8, T) out rows: masked impulse (0-2), mask (3), zeros (4-7)."""
+    bp, bq, bv, bw, friction, _so, _life = s
+    lower, upper, inv_dx, _cap = nd
+    x = (xv[0:1, :], xv[1:2, :], xv[2:3, :])
+    v = (xv[3:4, :], xv[4:5, :], xv[5:6, :])
+
+    qinv = m33.qnorm(m33.qconj(bq))
+    p_loc = m33.qrot(qinv, m33.vsub(x, bp))
+    in_box, fx = _local_and_fx(p_loc, lower, upper, inv_dx, res)
+    dist, n_loc = _combine(rows, fx, in_box)
+    D = m33.qrot(bq, n_loc)
+
+    c = dist - CONTACT_THRESHOLD
+    mask = c < 0.0
+    c = jnp.where(mask, c, 0.0)
+
+    r = m33.vsub(x, bp)
+    cv = m33.qrot(m33.qnorm(bq),
+                  m33.vadd(bv, m33.cross(bw, m33.qrot(
+                      m33.qconj(m33.qnorm(bq)), r))))
+    input_v = m33.vsub(v, cv)
+    nc = m33.dot(input_v, D)
+    p_v_t = m33.vsub(input_v, m33.vscale(D, nc))
+
+    k1 = 50.0
+    imp1 = m33.vscale(D, -(c * k1 * dt))
+    vt_norm = jnp.sqrt(m33.dot(p_v_t, p_v_t) + 1e-8)
+    fric_mag = jnp.minimum(jnp.abs(nc) * friction * dt, p_mass * vt_norm)
+    imp2 = m33.vscale(p_v_t, -fric_mag / vt_norm)
+    imp = m33.vadd(imp1, imp2)
+    imp = tuple(jnp.where(mask, i, 0.0) for i in imp)
+
+    zero = jnp.zeros_like(dist)
+    return jnp.concatenate(
+        [imp[0], imp[1], imp[2], mask.astype(jnp.float32),
+         zero, zero, zero, zero], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -261,6 +325,30 @@ def _make_mixed2_bwd_kernel(res, dt, p_mass):
         gxv, gst1, gs = vjp(g_ref[:])
         gxv_ref[:] = gxv
         gst1_ref[:] = gst1
+        gpar_ref[:] = jnp.concatenate(_flat_s(gs), axis=0)
+    return kernel
+
+
+def _make_particle_kernel(res, dt, p_mass):
+    def kernel(rows_ref, xv_ref, par_ref, out_ref):
+        s, nd = _par_unpack(par_ref[:])
+        out_ref[:] = _particle_math(rows_ref[:], xv_ref[:], s, nd, res, dt,
+                                    p_mass)
+    return kernel
+
+
+def _make_particle_bwd_kernel(res, dt, p_mass):
+    def kernel(rows_ref, xv_ref, g_ref, par_ref, gxv_ref, gpar_ref):
+        T = g_ref.shape[1]
+        s, nd = _par_unpack(par_ref[:], T)
+        rows = rows_ref[:]
+
+        def f(xv, s):
+            return _particle_math(rows, xv, s, nd, res, dt, p_mass)
+
+        _, vjp = jax.vjp(f, xv_ref[:], s)
+        gxv, gs = vjp(g_ref[:])
+        gxv_ref[:] = gxv
         gpar_ref[:] = jnp.concatenate(_flat_s(gs), axis=0)
     return kernel
 
@@ -360,16 +448,15 @@ def _fused_factory(res, dt, p_mass, push_cap):
         rows1 = nbt[:, _cell_index(prim, p_loc)]
         st1 = _run_kernel(k1, [rows1], [xv, par], n)
 
-        x_new = (st1[3], st1[4], st1[5])
-        p_loc2 = m33.qrot(qinv, m33.vsub(x_new, bp3))
-        rows2 = nbt[:, _cell_index(prim, p_loc2)]
-        out2 = _run_kernel(k2, [rows2], [xv, st1, par], n)
-        return par, xv, rows1, st1, rows2, out2
+        # stage 2 REUSES rows1 (forecast sample against the same stencil —
+        # see _mixed2_math); no second table gather
+        out2 = _run_kernel(k2, [rows1], [xv, st1, par], n)
+        return par, xv, rows1, st1, out2
 
     @jax.custom_vjp
     def fused(prim, bp, bq, bv, bw, friction, softness, x, p_v, life):
-        _, _, _, st1, _, out2 = parts(prim, bp, bq, bv, bw, friction,
-                                      softness, x, p_v, life)
+        _, _, _, st1, out2 = parts(prim, bp, bq, bv, bw, friction,
+                                   softness, x, p_v, life)
         return _tail(out2, st1, x, (bp[0], bp[1], bp[2]))
 
     def _fwd(*args):
@@ -378,14 +465,14 @@ def _fused_factory(res, dt, p_mass, push_cap):
     def _bwd(res_args, g):
         prim, bp, bq, bv, bw, friction, softness, x, p_v, life = res_args
         n = x[0].shape[0]
-        par, xv, rows1, st1, rows2, out2 = parts(*res_args)
+        par, xv, rows1, st1, out2 = parts(*res_args)
         bp3 = (bp[0], bp[1], bp[2])
 
         _, vjp_tail = jax.vjp(_tail, out2, st1, x, bp3)
         g_out2, g_st1_t, g_x_t, g_bp_t = vjp_tail(g)
 
         gxv_b, gst1_b, gpar_b = _run_kernel(
-            k2b, [rows2], [xv, st1, g_out2, par], n, out_rows=(8, 8, 16))
+            k2b, [rows1], [xv, st1, g_out2, par], n, out_rows=(8, 8, 16))
         gxv_a, gpar_a = _run_kernel(
             k1b, [rows1], [xv, gst1_b + g_st1_t, par], n, out_rows=(8, 16))
 
@@ -406,6 +493,85 @@ def _fused_factory(res, dt, p_mass, push_cap):
 
     fused.defvjp(_fwd, _bwd)
     return fused
+
+
+def _tail_particle(out, x, bp3, dt):
+    """Reaction wrench from the in-kernel (already masked) impulse."""
+    imp = (out[0], out[1], out[2])
+    b_f = tuple(i * (-1.0 / dt) for i in imp)
+    r = m33.vsub(x, bp3)
+    b_t = m33.cross(r, b_f)
+    wrench = jnp.stack([jnp.sum(c) for c in (b_f + b_t)])
+    return imp, wrench
+
+
+@functools.lru_cache(maxsize=None)
+def _particle_factory(res, dt, p_mass):
+    """custom_vjp collide_particle for static (res, dt, p_mass): one table
+    gather + ONE kernel (no forecast stage in the penalty model)."""
+    k1 = _make_particle_kernel(res, dt, p_mass)
+    k1b = _make_particle_bwd_kernel(res, dt, p_mass)
+
+    def parts(prim, bp, bq, bv, bw, friction, x, p_v):
+        n = x[0].shape[0]
+        par = _pack_par(prim, bp, bq, bv, bw, friction,
+                        jnp.float32(0.0), jnp.float32(0.0), 0.0)
+        nbt = prim.neighborhood.T
+        qinv = m33.qnorm(m33.qconj((bq[0], bq[1], bq[2], bq[3])))
+        bp3 = (bp[0], bp[1], bp[2])
+        xv = jnp.concatenate([jnp.stack(list(x)), jnp.stack(list(p_v)),
+                              jnp.zeros((2, n), jnp.float32)], axis=0)
+        p_loc = m33.qrot(qinv, m33.vsub(x, bp3))
+        rows1 = nbt[:, _cell_index(prim, p_loc)]
+        out = _run_kernel(k1, [rows1], [xv, par], n)
+        return par, xv, rows1, out
+
+    @jax.custom_vjp
+    def fused(prim, bp, bq, bv, bw, friction, x, p_v):
+        _, _, _, out = parts(prim, bp, bq, bv, bw, friction, x, p_v)
+        return _tail_particle(out, x, (bp[0], bp[1], bp[2]), dt)
+
+    def _fwd(*args):
+        return fused(*args), args
+
+    def _bwd(res_args, g):
+        prim, bp, bq, bv, bw, friction, x, p_v = res_args
+        n = x[0].shape[0]
+        par, xv, rows1, out = parts(*res_args)
+        bp3 = (bp[0], bp[1], bp[2])
+
+        _, vjp_tail = jax.vjp(
+            lambda o, x_, b: _tail_particle(o, x_, b, dt), out, x, bp3)
+        g_out, g_x_t, g_bp_t = vjp_tail(g)
+
+        gxv, gpar_rows = _run_kernel(
+            k1b, [rows1], [xv, g_out, par], n, out_rows=(8, 16))
+        gpar = jnp.sum(gpar_rows, axis=1)
+        g_x = tuple(gxv[d] + g_x_t[d] for d in range(3))
+        g_v = tuple(gxv[3 + d] for d in range(3))
+        g_bp = gpar[_BP:_BP + 3] + jnp.stack(list(g_bp_t))
+        zero_prim = jax.tree_util.tree_map(jnp.zeros_like, prim)
+        return (zero_prim,
+                g_bp.astype(bp.dtype),
+                gpar[_BQ:_BQ + 4].astype(bq.dtype),
+                gpar[_BV:_BV + 3].astype(bv.dtype),
+                gpar[_BW:_BW + 3].astype(bw.dtype),
+                gpar[_FRICTION].astype(friction.dtype),
+                g_x, g_v)
+
+    fused.defvjp(_fwd, _bwd)
+    return fused
+
+
+def collide_particle_fused(prim, body_pos, body_quat, body_v, body_w,
+                           friction, x, p_v, *, p_mass, dt):
+    """Drop-in fused replacement for the XLA collide_particle (TPU f32)."""
+    fn = _particle_factory(tuple(prim.res), float(dt), float(p_mass))
+    return fn(prim, jnp.asarray(body_pos, jnp.float32),
+              jnp.asarray(body_quat, jnp.float32),
+              jnp.asarray(body_v, jnp.float32),
+              jnp.asarray(body_w, jnp.float32),
+              jnp.asarray(friction, jnp.float32), x, p_v)
 
 
 def kernel_wanted(dtype) -> bool:
