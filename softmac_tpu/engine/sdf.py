@@ -171,6 +171,50 @@ def sample_normal_world(prim: SDFParams, bp, bq, x):
 # ======================================================================
 # Host-side baking: mesh -> SDF grid
 # ======================================================================
+def ray_aabb_intersection(box_min, box_max, o, d):
+    """Slab-method ray/AABB test, vectorized over rays (vec tuples).
+    Returns (intersect bool, t_near, t_far) — parity with the reference's
+    ``primitive_utils.ray_aabb_intersection`` (:49-72) incl. the
+    d == 0 outside-slab rejection."""
+    near = jnp.full_like(o[0], -BIG)
+    far = jnp.full_like(o[0], BIG)
+    hit = jnp.ones_like(o[0], dtype=bool)
+    for i in range(3):
+        para = d[i] == 0
+        hit = hit & jnp.where(
+            para, (o[i] >= box_min[i]) & (o[i] <= box_max[i]), True)
+        dsafe = jnp.where(para, 1.0, d[i])
+        i1 = (box_min[i] - o[i]) / dsafe
+        i2 = (box_max[i] - o[i]) / dsafe
+        lo, hi = jnp.minimum(i1, i2), jnp.maximum(i1, i2)
+        near = jnp.where(para, near, jnp.maximum(near, lo))
+        far = jnp.where(para, far, jnp.minimum(far, hi))
+    hit = hit & (near <= far)
+    return hit, near, far
+
+
+def sdf_ray_local(prim: SDFParams, o, d):
+    """Conservative sphere-tracing distance along ray (o, d) in the prim's
+    local frame (reference ``mesh.py:120-134``): BIG/200 on an AABB miss or
+    when the box is entirely behind, t_near + 8e-3 when the origin is
+    outside the box, else the table SDF at o."""
+    hit, tnear, tfar = ray_aabb_intersection(prim.lower, prim.upper, o, d)
+    miss = (~hit) | (tfar <= 0)
+    outside = tnear >= 0
+    inside_sdf = sample_sdf_local(prim, o)
+    val = jnp.where(outside, tnear + 8e-3, inside_sdf)
+    return jnp.where(miss, BIG / 200, val)
+
+
+def sdf_ray_world(prim: SDFParams, bp, bq, o, d):
+    """World-frame ray query: transform origin into the local frame and
+    rotate the direction (reference ``mesh.py:121-123``)."""
+    qinv = m33.qnorm(m33.qconj(bq))
+    o_l = m33.qrot(qinv, m33.vsub(o, bp))
+    d_l = m33.qrot(qinv, d)
+    return sdf_ray_local(prim, o_l, d_l)
+
+
 def _point_triangle_distance(points, tri_a, tri_b, tri_c):
     """Unsigned distance + closest point from points (P,3) to triangles (T,3).
 

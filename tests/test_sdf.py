@@ -75,3 +75,47 @@ def test_world_frame_query_rotation():
     p = tuple(jnp.asarray(np.array([w])) for w in world)
     d, n = sample_sdf_normal_world(prim, bp, bq, p)
     np.testing.assert_allclose(np.asarray(d), [-0.5], atol=0.03)
+
+
+def test_ray_aabb_and_sdf_ray():
+    """ray_aabb_intersection: slab-method parity cases (hit, miss, axis-
+    parallel inside/outside, behind). sdf_ray: BIG/200 miss, tnear+8e-3
+    from outside, table SDF from inside (reference mesh.py:120-134)."""
+    from softmac_tpu.engine.sdf import (
+        BIG, ray_aabb_intersection, sdf_ray_local, sdf_ray_world)
+
+    v, f = unit_cube()
+    bake = bake_mesh_sdf(v, f, margin=0.1, dx=0.05)
+    prim = sdf_params_from_bake(bake, jnp.float64)
+
+    lo, hi = float(prim.lower[0]), float(prim.upper[0])  # box incl. margin
+    o = tuple(jnp.asarray([v], jnp.float64) for v in (-1.0, 0.5, 0.5))
+    d = tuple(jnp.asarray([v], jnp.float64) for v in (1.0, 0.0, 0.0))
+    hit, tn, tf = ray_aabb_intersection(prim.lower, prim.upper, o, d)
+    assert bool(hit[0]) and np.isclose(float(tn[0]), lo + 1.0) \
+        and np.isclose(float(tf[0]), hi + 1.0)
+
+    # axis-parallel ray outside a slab -> reject
+    o2 = tuple(jnp.asarray([v], jnp.float64) for v in (-1.0, 5.0, 0.5))
+    hit2, _, _ = ray_aabb_intersection(prim.lower, prim.upper, o2, d)
+    assert not bool(hit2[0])
+
+    # box behind the origin -> miss sentinel
+    o3 = tuple(jnp.asarray([v], jnp.float64) for v in (3.0, 0.5, 0.5))
+    assert float(sdf_ray_local(prim, o3, d)[0]) == BIG / 200
+
+    # origin outside, ray entering: conservative advance tnear + 8e-3
+    assert np.isclose(float(sdf_ray_local(prim, o, d)[0]), lo + 1.0 + 8e-3)
+
+    # origin inside the box: falls back to the table SDF at o
+    o4 = tuple(jnp.asarray([v], jnp.float64) for v in (0.5, 0.5, 0.5))
+    got = float(sdf_ray_local(prim, o4, d)[0])
+    ref = float(sample_sdf_local(prim, o4)[0])
+    assert np.isclose(got, ref)
+
+    # world-frame: identity pose matches local
+    bp = tuple(jnp.zeros((), jnp.float64) for _ in range(3))
+    bq = (jnp.ones((), jnp.float64),) + tuple(
+        jnp.zeros((), jnp.float64) for _ in range(3))
+    got_w = float(sdf_ray_world(prim, bp, bq, o, d)[0])
+    assert np.isclose(got_w, lo + 1.0 + 8e-3)
