@@ -20,6 +20,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from softmac_tpu import SoftMacEnv
@@ -49,17 +51,35 @@ def main(args):
     total_frames = args.steps * env.substeps
     start = (2 * total_frames // 3) // 20 * 20   # 2000 @ reference scale
 
+    # robustification (--replicas K > 1): optimize the MEAN loss over K
+    # jitter-perturbed replicas of the initial state so the line search
+    # cannot lock onto a knife-edge artifact of one f32 trajectory
+    # (BASELINE.md door notes). K = 1 reproduces the plain driver.
+    K = max(int(args.replicas), 1)
+    carryK = env.jittered_carry(K, sigma=args.jitter) if K > 1 else None
+
     def grad_at(actions):
         # full-horizon gradients: finite with implicit hinge damping; the
         # useful signal flows from the early pushes to the late pose loss.
         # grad_clip: adaptive cotangent clipping at block boundaries.
-        out = env.rollout_and_grad(actions, loss_start_frame=start,
-                                   loss_stride=20, grad_clip=1.0)
-        g = sanitize_grad(np.asarray(out["action_grad"], np.float64))
+        if K > 1:
+            out = env.batched_rollout_and_grad(
+                np.broadcast_to(actions, (K,) + actions.shape).copy(),
+                carry0=carryK, loss_start_frame=start,
+                loss_stride=20, grad_clip=1.0)
+            loss = float(np.mean(np.asarray(out["loss"], np.float64)))
+            g = np.mean(np.asarray(out["action_grad"], np.float64), axis=0)
+            out = jax.tree.map(lambda s: np.asarray(s)[0], out)
+        else:
+            out = env.rollout_and_grad(actions, loss_start_frame=start,
+                                       loss_stride=20, grad_clip=1.0)
+            loss = float(out["loss"])
+            g = np.asarray(out["action_grad"], np.float64)
+        g = sanitize_grad(g)
         g[:, 1] = 0.0   # reference zeroes the y-gradient (demo_door.py:60)
         # normalize to unit max-component so LRS are action-scale step sizes
         g /= max(np.abs(g).max(), 1e-12)
-        return float(out["loss"]), g, out
+        return loss, g, out
 
     best = np.asarray(get_init_actions(args, choice=1), np.float64)
     best_loss, g, out = grad_at(best)
@@ -73,9 +93,18 @@ def main(args):
 
         timer.start("forward")
         cands = best[None] - (lr_scale * LRS)[:, None, None] * g[None]
-        res = env.batched_rollout(cands, loss_start_frame=start,
-                                  loss_stride=20)
-        cand_losses = np.asarray(res["loss"], np.float64)
+        if K > 1:   # evaluate every candidate on every replica: B = C*K
+            tiled = np.repeat(cands, K, axis=0)
+            carry_t = jax.tree.map(
+                lambda s: jnp.concatenate([s] * len(cands), axis=0), carryK)
+            res = env.batched_rollout(tiled, carry0=carry_t,
+                                      loss_start_frame=start, loss_stride=20)
+            cand_losses = np.asarray(res["loss"], np.float64) \
+                .reshape(len(cands), K).mean(axis=1)
+        else:
+            res = env.batched_rollout(cands, loss_start_frame=start,
+                                      loss_stride=20)
+            cand_losses = np.asarray(res["loss"], np.float64)
         timer.stop()
         timer.times["loss"] = timer.times["backward"] = 0.0
 
@@ -117,5 +146,10 @@ if __name__ == "__main__":
     parser.add_argument("--render-interval", type=int, default=5)
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--replicas", type=int, default=1,
+                        help="optimize mean loss over K jittered replicas "
+                             "(robustification for the chaotic slam)")
+    parser.add_argument("--jitter", type=float, default=3e-4,
+                        help="initial-position jitter sigma for --replicas")
     args = parser.parse_args()
     main(args)

@@ -839,6 +839,24 @@ class SoftMacEnv:
                 lambda s: jnp.broadcast_to(s[None], (B,) + s.shape), c)
         return carry0
 
+    def jittered_carry(self, n_replicas, sigma=3e-4, seed=0):
+        """Batched initial carry whose particle positions are independently
+        jittered per replica (replica 0 stays exact). Robustification
+        harness for knife-edge chaotic scenes (door/taco, BASELINE.md):
+        optimizing the MEAN loss over replicas via batched_rollout yields
+        solutions that are not artifacts of one f32 reduction-order
+        trajectory. Compose with batched_rollout(_and_grad) by tiling the
+        action trajectory n_replicas ways."""
+        c = self._initial_carry()
+        B = int(n_replicas)
+        carry = jax.tree.map(
+            lambda s: jnp.broadcast_to(s[None], (B,) + s.shape), c)
+        rng = np.random.RandomState(seed)
+        noise = rng.randn(B, *c[0].x.shape) * float(sigma)
+        noise[0] = 0.0
+        mpm0 = carry[0].replace(x=carry[0].x + jnp.asarray(noise, self.dtype))
+        return (mpm0,) + tuple(carry[1:])
+
     def batched_rollout(self, actions, carry0=None, loss_start_frame=None,
                         loss_stride=20, bptt_window=None, grad_clip=None):
         """Roll out B independent trajectories in ONE jitted program.

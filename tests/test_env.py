@@ -173,3 +173,52 @@ def test_batched_multistart_optimization(pour_vel_env):
     out2 = env.batched_rollout_and_grad(acts - 2e-2 * g, loss_stride=2)
     loss1 = np.asarray(out2["loss"])
     assert (loss1 < loss0).all(), (loss0, loss1)
+
+
+def test_jittered_replica_rollout(pour_vel_env):
+    """env.jittered_carry: replica 0 exact, others perturbed; the mean-loss
+    robustification harness (demo_door --replicas) rolls out all replicas
+    in one batched program with finite per-replica losses, and replica 0
+    reproduces the unbatched rollout exactly."""
+    env = pour_vel_env
+    K, T = 3, 4
+    carryK = env.jittered_carry(K, sigma=1e-4, seed=5)
+    x = np.asarray(carryK[0].x)
+    base = np.asarray(env._initial_carry()[0].x)
+    np.testing.assert_array_equal(x[0], base)
+    assert (np.abs(x[1] - base).max() > 0) and (np.abs(x[2] - base).max() > 0)
+    assert not np.array_equal(x[1], x[2])
+
+    acts = np.zeros((K, T, env.action_dim))
+    acts[:, :, 2] = 2.0
+    out = env.batched_rollout(acts, carry0=carryK, loss_stride=2)
+    losses = np.asarray(out["loss"])
+    assert losses.shape == (K,) and np.isfinite(losses).all()
+
+    ref = env.rollout(acts[0], loss_stride=2)
+    np.testing.assert_allclose(losses[0], float(ref["loss"]), rtol=1e-12)
+
+
+def test_candidate_by_replica_tiling(pour_vel_env):
+    """The demo_door line-search tiling (C candidates x K replicas in one
+    batched program: actions repeated per candidate, the jittered carry
+    concatenated C times) must reproduce the per-pair unbatched losses."""
+    env = pour_vel_env
+    C, K, T = 2, 2, 4
+    carryK = env.jittered_carry(K, sigma=1e-4, seed=6)
+    rng = np.random.RandomState(7)
+    cands = rng.uniform(-0.05, 0.05, (C, T, env.action_dim))
+
+    tiled = np.repeat(cands, K, axis=0)
+    carry_t = jax.tree.map(lambda s: jnp.concatenate([s] * C, axis=0),
+                           carryK)
+    out = env.batched_rollout(tiled, carry0=carry_t, loss_stride=2)
+    losses = np.asarray(out["loss"]).reshape(C, K)
+
+    for c in range(C):
+        for k in range(K):
+            single = jax.tree.map(lambda s: s[k:k + 1], carryK)
+            ref = env.batched_rollout(cands[c][None], carry0=single,
+                                      loss_stride=2)
+            np.testing.assert_allclose(
+                losses[c, k], float(np.asarray(ref["loss"])[0]), rtol=1e-12)
