@@ -111,9 +111,27 @@ def main(args):
         # the delta-cumsum controller keeps them globally informative: an
         # early delta shifts every later handle position, so d loss/d delta_i
         # sums the (clean) late-window action gradients.
-        out = env.rollout_and_grad(acts, loss_start_frame=start, loss_stride=10,
-                                   bptt_window=20, grad_clip=10.0)
-        loss = float(out["loss"])
+        if args.replicas > 1:
+            # robustification (BASELINE.md taco notes): mean loss/grad over
+            # K jitter-perturbed replicas of the initial state, all in one
+            # vmap program — replica 0 stays the exact scene
+            K = args.replicas
+            if not hasattr(main, "_carryK"):
+                main._carryK = env.jittered_carry(K, sigma=args.jitter)
+            import jax
+            out = env.batched_rollout_and_grad(
+                np.broadcast_to(acts, (K,) + acts.shape).copy(),
+                carry0=main._carryK, loss_start_frame=start, loss_stride=10,
+                bptt_window=20, grad_clip=10.0)
+            loss = float(np.mean(np.asarray(out["loss"], np.float64)))
+            mean_g = np.mean(np.asarray(out["action_grad"], np.float64), 0)
+            out = jax.tree.map(lambda s: np.asarray(s)[0], out)
+            out["action_grad"] = mean_g
+        else:
+            out = env.rollout_and_grad(acts, loss_start_frame=start,
+                                       loss_stride=10,
+                                       bptt_window=20, grad_clip=10.0)
+            loss = float(out["loss"])
         timer.stop()
         timer.times["loss"] = timer.times["backward"] = 0.0
 
@@ -145,5 +163,9 @@ if __name__ == "__main__":
     parser.add_argument("--render-interval", type=int, default=5)
     parser.add_argument("--epochs", type=int, default=25)
     parser.add_argument("--steps", type=int, default=200)
+    parser.add_argument("--replicas", type=int, default=1,
+                        help="optimize mean loss over K jittered replicas")
+    parser.add_argument("--jitter", type=float, default=2e-4,
+                        help="initial-position jitter sigma for --replicas")
     args = parser.parse_args()
     main(args)
