@@ -51,6 +51,15 @@ def main(args):
                            decay=0.98, betas=(0.0, 0.999),
                            actions_init=actions0[:, 3:6])
 
+    # --safeguard: reject overshooting Adam steps. The raw dual-lr Adam
+    # driver (reference demo_pour.py) occasionally overshoots on the pour
+    # landscape (one fixed-lr spike around epoch 13 at reference scale,
+    # BASELINE.md): when an epoch's loss regresses, roll both optimizers
+    # back to the pre-step state, halve their base lrs, and re-step with
+    # the stashed gradient. Costs no extra rollouts; off by default for
+    # raw reference-driver parity.
+    prev_loss, snap, g_prev = np.inf, None, None
+
     loss_log = []
     print("Optimizing Trajectory...")
     for epoch in range(args.epochs):
@@ -70,6 +79,17 @@ def main(args):
 
         timer.start("optimize")
         g = np.asarray(out["action_grad"])
+        if args.safeguard:
+            if loss > prev_loss and snap is not None:
+                torque_ctl.restore(snap[0]); force_ctl.restore(snap[1])
+                torque_ctl.lr *= 0.5; force_ctl.lr *= 0.5
+                g = g_prev
+                print(f"  [safeguard] overshoot ({loss:.1f} > "
+                      f"{prev_loss:.1f}): rolled back, lr halved")
+            else:
+                prev_loss = loss
+            snap = (torque_ctl.snapshot(), force_ctl.snapshot())
+            g_prev = g
         torque_ctl.step(g[:, :3])
         force_ctl.step(g[:, 3:6])
         timer.stop()
@@ -104,5 +124,8 @@ if __name__ == "__main__":
     parser.add_argument("--render-interval", type=int, default=5)
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--safeguard", action="store_true",
+                        help="reject overshooting Adam steps (rollback + lr "
+                             "halving); off = raw reference driver")
     args = parser.parse_args()
     main(args)

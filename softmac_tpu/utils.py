@@ -169,6 +169,20 @@ class Controller:
         self.action = np.asarray(self._optax.apply_updates(self.action, updates))
         self.epoch += 1
 
+    def snapshot(self):
+        """Full optimizer state (actions + Adam moments + schedule epoch +
+        base lr) for overshoot rejection (demo_pour --safeguard)."""
+        import copy
+        return (self.action.copy(), copy.deepcopy(self.opt_state),
+                self.epoch, self.lr)
+
+    def restore(self, snap):
+        self.action = snap[0].copy()
+        import copy
+        self.opt_state = copy.deepcopy(snap[1])
+        self.epoch = snap[2]
+        self.lr = snap[3]
+
 
 class EpochTimer:
     """Per-epoch phase timing printout (demo_pour.py:155-193 format)."""

@@ -222,3 +222,31 @@ def test_candidate_by_replica_tiling(pour_vel_env):
                                       loss_stride=2)
             np.testing.assert_allclose(
                 losses[c, k], float(np.asarray(ref["loss"])[0]), rtol=1e-12)
+
+
+def test_controller_snapshot_restore():
+    """Controller.snapshot/restore (demo_pour --safeguard) must make the
+    optimizer path reproducible: restore + identical step == no detour."""
+    from softmac_tpu.utils import Controller
+    rng = np.random.RandomState(0)
+    g1 = rng.randn(20, 3)
+    g2 = rng.randn(20, 3)
+
+    c = Controller(num_actions=4, action_dim=3, steps=20, lr=1e-2,
+                   warmup=2, decay=0.9)
+    c.step(g1)
+    snap = c.snapshot()
+    ref = Controller(num_actions=4, action_dim=3, steps=20, lr=1e-2,
+                     warmup=2, decay=0.9)
+    ref.step(g1)
+    ref.step(g2)
+    expect = ref.action.copy()
+
+    c.step(rng.randn(20, 3))   # a detour step...
+    c.restore(snap)            # ...rolled back
+    c.step(g2)
+    np.testing.assert_allclose(c.action, expect, atol=1e-15)
+
+    # lr is part of the snapshot (safeguard halves it after restore)
+    c.restore(snap)
+    assert c.lr == 1e-2
