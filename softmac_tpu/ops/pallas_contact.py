@@ -30,9 +30,11 @@ two directions cannot drift. The 16 differentiable scalars (bp, bq, bv, bw,
 friction, softness, life) enter the backward kernels pre-broadcast to
 (1, T) lane rows; their cotangents come back as per-lane contribution rows
 that XLA sums over the particle axis (lane reductions inside the kernel
-would serialize the VPU). Residuals are just the primal args — the bwd
-wrapper re-runs the cheap forward pieces (two gathers + kernel A), which
-keeps custom_vjp memory flat under the rollout's remat scans. The tiny
+would serialize the VPU). Residuals carry the primal args PLUS the gather
+and kernel-A products: re-running them in the bwd costs another ~1 ms
+gather per call, while under the rollout's per-env-step remat the
+residuals only live through that step's backward (substeps x ~20 MB
+transient, well within HBM). The tiny
 wrench-assembly tail ((N,)-sized masks + 6 reductions) is differentiated in
 XLA. prim-table cotangents are zeros (the tables are constants; the rollout
 never differentiates them, so XLA DCEs the zeros).
@@ -460,12 +462,21 @@ def _fused_factory(res, dt, p_mass, push_cap):
         return _tail(out2, st1, x, (bp[0], bp[1], bp[2]))
 
     def _fwd(*args):
-        return fused(*args), args
+        # carry the gather + kernel products as residuals: re-running them
+        # in _bwd costs another (N, 32) gather (~1 ms at 1e5) per call, and
+        # under the rollout's per-env-step remat the residuals only live
+        # through that step's backward (substeps x ~20 MB transient)
+        pieces = parts(*args)
+        prim, bp = args[0], args[1]
+        st1, out2 = pieces[3], pieces[4]
+        out = _tail(out2, st1, args[7], (bp[0], bp[1], bp[2]))
+        return out, (args, pieces)
 
-    def _bwd(res_args, g):
+    def _bwd(res, g):
+        res_args, pieces = res
         prim, bp, bq, bv, bw, friction, softness, x, p_v, life = res_args
         n = x[0].shape[0]
-        par, xv, rows1, st1, out2 = parts(*res_args)
+        par, xv, rows1, st1, out2 = pieces
         bp3 = (bp[0], bp[1], bp[2])
 
         _, vjp_tail = jax.vjp(_tail, out2, st1, x, bp3)
@@ -532,12 +543,17 @@ def _particle_factory(res, dt, p_mass):
         return _tail_particle(out, x, (bp[0], bp[1], bp[2]), dt)
 
     def _fwd(*args):
-        return fused(*args), args
+        # residuals carry the gather + kernel products (see _fused_factory)
+        pieces = parts(*args)
+        bp = args[1]
+        out = _tail_particle(pieces[3], args[6], (bp[0], bp[1], bp[2]), dt)
+        return out, (args, pieces)
 
-    def _bwd(res_args, g):
+    def _bwd(res, g):
+        res_args, pieces = res
         prim, bp, bq, bv, bw, friction, x, p_v = res_args
         n = x[0].shape[0]
-        par, xv, rows1, out = parts(*res_args)
+        par, xv, rows1, out = pieces
         bp3 = (bp[0], bp[1], bp[2])
 
         _, vjp_tail = jax.vjp(
