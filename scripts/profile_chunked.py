@@ -24,42 +24,47 @@ def main():
 
     # sorted scaled-y positions spanning rows [2, 28) of the window
     py = np.sort(2.5 + 25.0 * rng.random(n)).astype(np.float32)
-    meta, ovf = pc.chunk_meta(jnp.asarray(py), jnp.int32(0), wy)
+    px = (2.0 + 36.0 * rng.random(n)).astype(np.float32)
+    pz = (2.0 + 12.0 * rng.random(n)).astype(np.float32)
+    meta, ovf = pc.chunk_meta(jnp.asarray(py),
+                              (jnp.int32(0), jnp.int32(0), jnp.int32(0)), wy)
     assert not bool(ovf)
-    fam = pc.family(wy)
+    fam = pc.family((wx, wy, wz))
 
     def arr(*shape):
         return jnp.asarray(rng.standard_normal(shape), jnp.float32)
 
-    Wx, WxD = arr(wx, n), arr(wx, n)
-    Wz, WDz = arr(wz, n), arr(wz, n)
-    chan = arr(16, n).at[13].set(jnp.asarray(py))
-    pv = jnp.zeros((8, n), jnp.float32).at[0].set(jnp.asarray(py))
+    chan = (arr(16, n).at[13].set(jnp.asarray(px))
+            .at[14].set(jnp.asarray(py)).at[15].set(jnp.asarray(pz)))
+    pv = (jnp.zeros((8, n), jnp.float32).at[0].set(jnp.asarray(px))
+          .at[1].set(jnp.asarray(py)).at[2].set(jnp.asarray(pz)))
     gv = [arr(wy * wz, wx) for _ in range(3)]
     g16 = arr(16, n)
     dgm, dgmom = arr(wy * wz, wx), arr(wy * wz, 3 * wx)
-    vals = pv.at[0:3].set(arr(3, n)).at[3].set(jnp.asarray(py))
+    vals = jnp.concatenate([arr(3, n), pv[0:3], jnp.zeros((2, n))], axis=0)
     dout = arr(wy * wz, 3 * wx)
     dv3 = arr(3, n)
+    win = (wx, wy, wz)
 
     cases = {
-        "p2g_fwd": lambda t: pc._p2g_c_pallas(Wx + t, WxD, Wz, WDz, chan,
-                                              meta, wy),
-        "p2g_bwd": lambda t: pc._p2g_c_bwd_pallas(Wx + t, WxD, Wz, WDz, chan,
-                                                  meta, wy, dgm, dgmom),
-        "g2p_fwd": lambda t: pc._g2p_c_pallas(Wx + t, WxD, Wz, WDz, pv, *gv,
-                                              meta, wy),
-        "g2p_bwd": lambda t: pc._g2p_c_bwd_pallas(Wx + t, WxD, Wz, WDz, pv,
-                                                  *gv, meta, wy, g16),
-        "gather_fwd": lambda t: pc._gather_c_pallas(Wx + t, Wz, pv, *gv,
-                                                    meta, wy),
-        "gather_bwd": lambda t: pc._gather_c_bwd_pallas(Wx + t, Wz, pv, *gv,
-                                                        meta, wy, dv3),
-        "splat_fwd": lambda t: pc._splat_c_pallas(Wx + t, Wz, vals, meta, wy),
-        "splat_bwd": lambda t: pc._splat_c_bwd_pallas(Wx + t, Wz, vals, meta,
-                                                      wy, dout),
-        "chunk_meta": lambda t: pc.chunk_meta(jnp.asarray(py) + t * 0.0,
-                                              jnp.int32(0), wy),
+        "p2g_fwd": lambda t: pc._p2g_c_pallas(chan + t * 1e-20, meta, win),
+        "p2g_bwd": lambda t: pc._p2g_c_bwd_pallas(chan + t * 1e-20, meta,
+                                                  win, dgm, dgmom),
+        "g2p_fwd": lambda t: pc._g2p_c_pallas(pv + t * 1e-20, *gv, meta,
+                                              win),
+        "g2p_bwd": lambda t: pc._g2p_c_bwd_pallas(pv + t * 1e-20, *gv, meta,
+                                                  win, g16),
+        "gather_fwd": lambda t: pc._gather_c_pallas(pv + t * 1e-20, *gv,
+                                                    meta, win),
+        "gather_bwd": lambda t: pc._gather_c_bwd_pallas(pv + t * 1e-20, *gv,
+                                                        meta, win, dv3),
+        "splat_fwd": lambda t: pc._splat_c_pallas(vals + t * 1e-20, meta,
+                                                  win),
+        "splat_bwd": lambda t: pc._splat_c_bwd_pallas(vals + t * 1e-20, meta,
+                                                      win, dout),
+        "chunk_meta": lambda t: pc.chunk_meta(
+            jnp.asarray(py) + t * 0.0,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0)), wy),
         "sort_perm": lambda t: jnp.argsort(
             jnp.floor(jnp.asarray(py) + t * 0.0).astype(jnp.int32)),
     }

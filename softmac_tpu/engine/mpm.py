@@ -118,25 +118,20 @@ def window_geometry(cfg: MPMConfig, x_vec, axis_name=None):
     return sizes, tuple(corner), overflow
 
 
-def axis_weights(cfg: MPMConfig, x_vec, sizes=None, corner=None,
-                 axes=(0, 1, 2)):
+def axis_weights(cfg: MPMConfig, x_vec, sizes=None, corner=None):
     """Dense per-axis B-spline weight matrices over the active window.
 
     Returns (W, WD): lists of 3 arrays (w_d, N) each. W[d][r, p] is the
     weight of particle p on window row r along axis d; WD[d] carries the
     extra (offset - fx) factor (unscaled — multiply by dx for P2G's dpos).
-    Axes not in ``axes`` get None (the chunked-kernel path builds its
-    y-weights inside the kernels and never materializes W[1]/WD[1])."""
+    (The chunked-kernel path never calls this — it rebuilds all weights
+    inside the kernels from the scaled position rows.)"""
     ng = cfg.n_grid
     if sizes is None:
         sizes = (ng, ng, ng)
         corner = (jnp.int32(0),) * 3
     W, WD = [], []
     for d in range(3):
-        if d not in axes:
-            W.append(None)
-            WD.append(None)
-            continue
         r = corner[d] + jnp.arange(sizes[d], dtype=jnp.int32)[:, None]
         pos = x_vec[d] * cfg.inv_dx
         b = jnp.floor(pos - 0.5).astype(jnp.int32)
@@ -470,17 +465,18 @@ def substep(
     wx = sizes[0]
     Hyz = HyzDy = HyzDz = None
     if use_chunked:
-        # y-chunked family: no (wy, N) y-weights exist anywhere — the
-        # kernels rebuild them per tile from the scaled y position row.
+        # y-chunked family: NO weight arrays exist anywhere — the kernels
+        # rebuild all three axes' B-spline weights per tile from the scaled
+        # position rows (pallas_chunked._waxis).
         from softmac_tpu.ops import pallas_chunked as pc
-        fam = pc.family(sizes[1])
-        py = x[1] * cfg.inv_dx
-        meta, c_ovf = pc.chunk_meta(py, corner[1], sizes[1])
+        fam = pc.family(sizes)
+        px, py, pz = (x[d] * cfg.inv_dx for d in range(3))
+        meta, c_ovf = pc.chunk_meta(py, corner, sizes[1])
         if axis_name is not None:
             c_ovf = lax.pmax(c_ovf.astype(jnp.int32), axis_name) > 0
         overflow = overflow | c_ovf
-        pv = jnp.zeros((8, x[0].shape[0]), dtype).at[0].set(py)
-        W, WD = axis_weights(cfg, x, sizes, corner, axes=(0, 2))
+        pv = jnp.zeros((8, x[0].shape[0]), dtype) \
+            .at[0].set(px).at[1].set(py).at[2].set(pz)
     elif use_fused:
         from softmac_tpu.ops import pallas_fused as pf
         W, WD = axis_weights(cfg, x, sizes, corner)
@@ -491,10 +487,10 @@ def substep(
 
     # --- P2G ---------------------------------------------------------------
     if use_chunked:
-        chan = _p2g_channels(cfg, v, C, stress, impulse).at[13, :].set(py)
+        chan = _p2g_channels(cfg, v, C, stress, impulse) \
+            .at[13].set(px).at[14].set(py).at[15].set(pz)
         gm, gmom = lax.platform_dependent(
-            W[0], WD[0], W[2], WD[2], chan, meta,
-            tpu=fam.p2g, default=fam.p2g_ref)
+            chan, meta, tpu=fam.p2g, default=fam.p2g_ref)
         grid = (gm, gmom[:, :wx], gmom[:, wx:2 * wx], gmom[:, 2 * wx:])
     elif use_fused:
         chan = _p2g_channels(cfg, v, C, stress, impulse)
@@ -515,7 +511,7 @@ def substep(
         grid_v_mixed = boundary_condition(cfg, coords, g_v)
         if use_chunked:
             vt = lax.platform_dependent(
-                W[0], W[2], pv, *grid_v_mixed, meta,
+                pv, *grid_v_mixed, meta,
                 tpu=fam.gather, default=fam.gather_ref)
             v_tmp = (vt[0], vt[1], vt[2])
         elif use_fused:
@@ -541,11 +537,11 @@ def substep(
         alpha = 2.0
         dv = m33.vsub(v_tmp, v_tgt)
         if use_chunked:
-            vals = pv.at[0:3].set(
-                jnp.stack([-alpha * dv[d] for d in range(3)])).at[3].set(py)
+            vals = jnp.concatenate(
+                [jnp.stack([-alpha * dv[d] for d in range(3)]),
+                 pv[0:3], pv[6:8]], axis=0)   # rows 3-5 = px/py/pz
             cg = lax.platform_dependent(
-                W[0], W[2], vals, meta,
-                tpu=fam.splat, default=fam.splat_ref)
+                vals, meta, tpu=fam.splat, default=fam.splat_ref)
             corr = [cg[:, d * wx:(d + 1) * wx] for d in range(3)]
         elif use_fused:
             cg = lax.platform_dependent(
@@ -586,7 +582,7 @@ def substep(
     # --- G2P + advection -----------------------------------------------------
     if use_chunked:
         out16 = lax.platform_dependent(
-            W[0], WD[0], W[2], WD[2], pv, *grid_v_out, meta,
+            pv, *grid_v_out, meta,
             tpu=fam.g2p, default=fam.g2p_ref)
         v_new = (out16[0], out16[1], out16[2])
         s = 4.0 * cfg.inv_dx

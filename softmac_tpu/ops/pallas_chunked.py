@@ -70,14 +70,18 @@ def kernel_wanted(window) -> bool:
 # Per-tile window metadata (plain XLA; runs every substep).
 # ---------------------------------------------------------------------------
 
-def chunk_meta(py, cy, wy, tile=None):
-    """py: (N,) scaled y positions (x[1] * inv_dx); cy: traced int32 window
-    corner. Returns (meta (3, n_tiles) int32, overflow bool).
+def chunk_meta(py, corner, wy, tile=None):
+    """py: (N,) scaled y positions (x[1] * inv_dx); corner: the 3 traced
+    int32 window corners (cx, cy, cz). Returns (meta (6, n_tiles) int32,
+    overflow bool).
 
     meta rows: [o8 (window offset in 8-row blocks), first-visit flag,
-    cy + o (absolute row offset for the in-kernel weight builder)].
+    cy + o (absolute y row offset for the in-kernel weight builder),
+    o, cx, cz (x/z corners for the in-kernel x/z weight builders —
+    constant across tiles, broadcast so everything rides one SMEM block)].
     """
     tile = _TILE_C if tile is None else tile
+    cx, cy, cz = corner
     n = py.shape[0]
     n_pad = -(-n // tile) * tile
     base = jnp.floor(lax.stop_gradient(py) - 0.5).astype(jnp.int32) - cy
@@ -91,7 +95,9 @@ def chunk_meta(py, cy, wy, tile=None):
     o8 = o // 8
     first = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), (o8[1:] != o8[:-1]).astype(jnp.int32)])
-    meta = jnp.stack([o8, first, cy + o, o])
+    meta = jnp.stack([o8, first, cy + o, o,
+                      jnp.broadcast_to(cx, o8.shape),
+                      jnp.broadcast_to(cz, o8.shape)])
     return meta, overflow
 
 
@@ -99,24 +105,33 @@ def chunk_meta(py, cy, wy, tile=None):
 # In-kernel y-axis weight builder (identical math to mpm.axis_weights).
 # ---------------------------------------------------------------------------
 
-def _wy16(py, cyo):
-    """py: (1, T) scaled y positions; cyo: 0-d f32 absolute window offset
-    (grid corner + per-tile o). Returns (Wy, WDy), each (_WY, T)."""
-    b = jnp.floor(py - 0.5)
-    fx = py - b
-    rb = b - cyo                           # window-local base row (float)
-    # Mosaic requires integer iota; cast after (f32 holds 0..15 exactly)
-    r = lax.broadcasted_iota(jnp.int32, (_WY, py.shape[1]), 0) \
+def _waxis(p, c, w):
+    """Quadratic B-spline weight rows from scaled positions, in-kernel:
+    p: (1, T) scaled positions (pos * inv_dx); c: 0-d f32 absolute window
+    row offset (x/z: the window corner; y: corner + per-tile o). Returns
+    (W, WD), each (w, T) — identical math to mpm.axis_weights, so NO
+    (w, N) weight array ever exists in HBM and the weight->position
+    backprop happens in the backward kernels via jax.vjp of this builder."""
+    b = jnp.floor(p - 0.5)
+    fx = p - b
+    rb = b - c                             # window-local base row (float)
+    # Mosaic requires integer iota; cast after (f32 holds small ints exactly)
+    r = lax.broadcasted_iota(jnp.int32, (w, p.shape[1]), 0) \
         .astype(jnp.float32)
-    w = (0.5 * (1.5 - fx) ** 2, 0.75 - (fx - 1.0) ** 2,
-         0.5 * (fx - 0.5) ** 2)
-    Wy = jnp.zeros((_WY, py.shape[1]), jnp.float32)
-    WDy = jnp.zeros_like(Wy)
+    wgt = (0.5 * (1.5 - fx) ** 2, 0.75 - (fx - 1.0) ** 2,
+           0.5 * (fx - 0.5) ** 2)
+    W = jnp.zeros((w, p.shape[1]), jnp.float32)
+    WD = jnp.zeros_like(W)
     for o in range(3):
         hit = r == rb + o
-        Wy = Wy + jnp.where(hit, w[o], 0.0)
-        WDy = WDy + jnp.where(hit, w[o] * (o - fx), 0.0)
-    return Wy, WDy
+        W = W + jnp.where(hit, wgt[o], 0.0)
+        WD = WD + jnp.where(hit, wgt[o] * (o - fx), 0.0)
+    return W, WD
+
+
+def _wy16(py, cyo):
+    """(Wy, WDy) over the per-tile 16-row y-window."""
+    return _waxis(py, cyo, _WY)
 
 
 def _wy_xla(py, meta, wy, n):
@@ -166,9 +181,19 @@ def _combine_ab(a, b, meta, wy, wz):
 # Forward kernels.
 # ---------------------------------------------------------------------------
 
-def _p2g_c_kernel(meta_ref, wx_ref, wxd_ref, wz_ref, wdz_ref, chan_ref,
+def _axes_weights(meta_ref, t, px, py, pz, wx, wz):
+    """All six weight blocks, built in-kernel from the three position rows
+    + the corner scalars riding in meta."""
+    Wx, WxD = _waxis(px, meta_ref[4, t].astype(jnp.float32), wx)
+    Wy, WDy = _wy16(py, meta_ref[2, t].astype(jnp.float32))
+    Wz, WDz = _waxis(pz, meta_ref[5, t].astype(jnp.float32), wz)
+    return Wx, WxD, Wy, WDy, Wz, WDz
+
+
+def _p2g_c_kernel(meta_ref, chan_ref,
                   o1a_ref, o1b_ref, o2a_ref, o2b_ref, o3a_ref, o3b_ref,
                   h_ref, r_ref):
+    """chan rows 0-12: P2G scalars; rows 13/14/15: px/py/pz (scaled)."""
     t = pl.program_id(0)
 
     @pl.when(meta_ref[1, t] == 1)
@@ -176,13 +201,12 @@ def _p2g_c_kernel(meta_ref, wx_ref, wxd_ref, wz_ref, wdz_ref, chan_ref,
         for ref in (o1a_ref, o1b_ref, o2a_ref, o2b_ref, o3a_ref, o3b_ref):
             ref[:] = jnp.zeros_like(ref)
 
-    Wx, WxD = wx_ref[:], wxd_ref[:]
-    Wz, WDz = wz_ref[:], wdz_ref[:]
     chan = chan_ref[:]
-    wx = Wx.shape[0]
-    n_z = Wz.shape[0]
+    n_z = o1a_ref.shape[0] // 8
+    wx = o1a_ref.shape[1] // 4
     half = (_WY // 2) * n_z
-    Wy, WDy = _wy16(chan[13:14, :], meta_ref[2, t].astype(jnp.float32))
+    Wx, WxD, Wy, WDy, Wz, WDz = _axes_weights(
+        meta_ref, t, chan[13:14, :], chan[14:15, :], chan[15:16, :], wx, n_z)
 
     r_ref[0:wx, :] = Wx * chan[0:1, :]
     for d in range(3):
@@ -211,14 +235,15 @@ def _p2g_c_kernel(meta_ref, wx_ref, wxd_ref, wz_ref, wdz_ref, chan_ref,
     o3b_ref[:] += o3[half:]
 
 
-def _g2p_c_kernel(meta_ref, wx_ref, wxd_ref, wz_ref, wdz_ref, pv_ref,
+def _g2p_c_kernel(meta_ref, pv_ref,
                   gvpa_ref, gvpb_ref, out_ref, h_ref, hdy_ref, hdz_ref):
+    """pv rows 0/1/2: px/py/pz (scaled positions)."""
     t = pl.program_id(0)
-    Wx, WxD = wx_ref[:], wxd_ref[:]
-    Wz, WDz = wz_ref[:], wdz_ref[:]
-    wx = Wx.shape[0]
-    n_z = Wz.shape[0]
-    Wy, WDy = _wy16(pv_ref[0:1, :], meta_ref[2, t].astype(jnp.float32))
+    n_z = gvpa_ref.shape[0] // 8
+    wx = gvpa_ref.shape[1] // 3
+    Wx, WxD, Wy, WDy, Wz, WDz = _axes_weights(
+        meta_ref, t, pv_ref[0:1, :], pv_ref[1:2, :], pv_ref[2:3, :],
+        wx, n_z)
 
     for y in range(_WY):
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * Wz
@@ -241,13 +266,15 @@ def _g2p_c_kernel(meta_ref, wx_ref, wxd_ref, wz_ref, wdz_ref, pv_ref,
     out_ref[12:16, :] = jnp.zeros_like(out_ref[12:16, :])
 
 
-def _gather_c_kernel(meta_ref, wx_ref, wz_ref, pv_ref, gvpa_ref, gvpb_ref,
+def _gather_c_kernel(meta_ref, pv_ref, gvpa_ref, gvpb_ref,
                      out_ref, h_ref):
+    """pv rows 0/1/2: px/py/pz (scaled positions)."""
     t = pl.program_id(0)
-    Wx, Wz = wx_ref[:], wz_ref[:]
-    wx = Wx.shape[0]
-    n_z = Wz.shape[0]
-    Wy, _ = _wy16(pv_ref[0:1, :], meta_ref[2, t].astype(jnp.float32))
+    n_z = gvpa_ref.shape[0] // 8
+    wx = gvpa_ref.shape[1] // 3
+    Wx, _ = _waxis(pv_ref[0:1, :], meta_ref[4, t].astype(jnp.float32), wx)
+    Wy, _ = _wy16(pv_ref[1:2, :], meta_ref[2, t].astype(jnp.float32))
+    Wz, _ = _waxis(pv_ref[2:3, :], meta_ref[5, t].astype(jnp.float32), n_z)
     for y in range(_WY):
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * Wz
     gvp = jnp.concatenate([gvpa_ref[:], gvpb_ref[:]], axis=0)
@@ -258,9 +285,9 @@ def _gather_c_kernel(meta_ref, wx_ref, wz_ref, pv_ref, gvpa_ref, gvpb_ref,
     out_ref[3:8, :] = jnp.zeros_like(out_ref[3:8, :])
 
 
-def _splat_c_kernel(meta_ref, wx_ref, wz_ref, vals_ref,
+def _splat_c_kernel(meta_ref, vals_ref,
                     oa_ref, ob_ref, h_ref, r_ref):
-    """vals rows 0-2: channel values; row 3: scaled y position."""
+    """vals rows 0-2: channel values; rows 3/4/5: px/py/pz."""
     t = pl.program_id(0)
 
     @pl.when(meta_ref[1, t] == 1)
@@ -268,12 +295,13 @@ def _splat_c_kernel(meta_ref, wx_ref, wz_ref, vals_ref,
         oa_ref[:] = jnp.zeros_like(oa_ref)
         ob_ref[:] = jnp.zeros_like(ob_ref)
 
-    Wx, Wz = wx_ref[:], wz_ref[:]
     vals = vals_ref[:]
-    wx = Wx.shape[0]
-    n_z = Wz.shape[0]
+    n_z = oa_ref.shape[0] // 8
+    wx = oa_ref.shape[1] // 3
     half = (_WY // 2) * n_z
-    Wy, _ = _wy16(vals[3:4, :], meta_ref[2, t].astype(jnp.float32))
+    Wx, _ = _waxis(vals[3:4, :], meta_ref[4, t].astype(jnp.float32), wx)
+    Wy, _ = _wy16(vals[4:5, :], meta_ref[2, t].astype(jnp.float32))
+    Wz, _ = _waxis(vals[5:6, :], meta_ref[5, t].astype(jnp.float32), n_z)
     for d in range(3):
         r_ref[d * wx:(d + 1) * wx, :] = Wx * vals[d:d + 1, :]
     for y in range(_WY):
@@ -289,19 +317,27 @@ def _splat_c_kernel(meta_ref, wx_ref, wz_ref, vals_ref,
 # to a position-row cotangent through jax.vjp of the in-kernel builder.
 # ---------------------------------------------------------------------------
 
-def _p2g_c_bwd_kernel(meta_ref, wx_ref, wxd_ref, wz_ref, wdz_ref, chan_ref,
-                      do1a_ref, do1b_ref, dma_ref, dmb_ref,
-                      dwx_ref, dwxd_ref, dwz_ref, dwdz_ref, dchan_ref,
-                      h_ref, t_ref):
-    t = pl.program_id(0)
-    Wx, WxD = wx_ref[:], wxd_ref[:]
-    Wz, WDz = wz_ref[:], wdz_ref[:]
-    chan = chan_ref[:]
-    wx = Wx.shape[0]
-    n_z = Wz.shape[0]
-    py = chan[13:14, :]
+def _vjp_weights(meta_ref, t, px, py, pz, wx, wz):
+    """All six weight blocks + the three weight->position vjps."""
+    cx = meta_ref[4, t].astype(jnp.float32)
     cyo = meta_ref[2, t].astype(jnp.float32)
-    (Wy, WDy), vjp_y = jax.vjp(lambda p: _wy16(p, cyo), py)
+    cz = meta_ref[5, t].astype(jnp.float32)
+    (Wx, WxD), vjp_x = jax.vjp(lambda p: _waxis(p, cx, wx), px)
+    (Wy, WDy), vjp_y = jax.vjp(lambda p: _waxis(p, cyo, _WY), py)
+    (Wz, WDz), vjp_z = jax.vjp(lambda p: _waxis(p, cz, wz), pz)
+    return (Wx, WxD, Wy, WDy, Wz, WDz), (vjp_x, vjp_y, vjp_z)
+
+
+def _p2g_c_bwd_kernel(meta_ref, chan_ref,
+                      do1a_ref, do1b_ref, dma_ref, dmb_ref,
+                      dchan_ref, h_ref, t_ref):
+    t = pl.program_id(0)
+    chan = chan_ref[:]
+    n_z = do1a_ref.shape[0] // 8
+    wx = do1a_ref.shape[1] // 4
+    (Wx, WxD, Wy, WDy, Wz, WDz), (vjp_x, vjp_y, vjp_z) = _vjp_weights(
+        meta_ref, t, chan[13:14, :], chan[14:15, :], chan[15:16, :],
+        wx, n_z)
     do1 = jnp.concatenate([do1a_ref[:], do1b_ref[:]], axis=0)
     dmom = jnp.concatenate([dma_ref[:], dmb_ref[:]], axis=0)
 
@@ -329,7 +365,6 @@ def _p2g_c_bwd_kernel(meta_ref, wx_ref, wxd_ref, wz_ref, wdz_ref, chan_ref,
         blk = t_ref[y * n_z:(y + 1) * n_z, :]
         dwdy_rows.append(jnp.sum(Wz * blk, 0, keepdims=True))
         dwz = dwz + WDy[y:y + 1, :] * blk
-    dwz_ref[:] = dwz
 
     r_dz = jnp.concatenate(
         [Wx * chan[6 + 3 * d:7 + 3 * d, :] for d in range(3)], axis=0)
@@ -339,7 +374,6 @@ def _p2g_c_bwd_kernel(meta_ref, wx_ref, wxd_ref, wz_ref, wdz_ref, chan_ref,
         blk = t_ref[y * n_z:(y + 1) * n_z, :]
         dwy_rows[y] = dwy_rows[y] + jnp.sum(WDz * blk, 0, keepdims=True)
         dwdz = dwdz + Wy[y:y + 1, :] * blk
-    dwdz_ref[:] = dwdz
     dwy = jnp.concatenate(dwy_rows, axis=0)
     dwdy = jnp.concatenate(dwdy_rows, axis=0)
 
@@ -375,17 +409,18 @@ def _p2g_c_bwd_kernel(meta_ref, wx_ref, wxd_ref, wz_ref, wdz_ref, chan_ref,
         dwx = dwx + chan[6 + 3 * d:7 + 3 * d, :] * blk
         dchan_ref[6 + 3 * d:7 + 3 * d, :] = jnp.sum(Wx * blk, 0,
                                                     keepdims=True)
-    dwx_ref[:] = dwx
-    dwxd_ref[:] = dwxd
+    # weight cotangents -> scaled-position-row cotangents (chan 13/14/15)
+    dpx, = vjp_x((dwx, dwxd))
     dpy, = vjp_y((dwy, dwdy))
-    dchan_ref[13:14, :] = dpy
-    dchan_ref[14:16, :] = jnp.zeros_like(dchan_ref[14:16, :])
+    dpz, = vjp_z((dwz, dwdz))
+    dchan_ref[13:14, :] = dpx
+    dchan_ref[14:15, :] = dpy
+    dchan_ref[15:16, :] = dpz
 
 
-def _g2p_c_bwd_kernel(meta_ref, wx_ref, wxd_ref, wz_ref, wdz_ref, pv_ref,
+def _g2p_c_bwd_kernel(meta_ref, pv_ref,
                       gvpa_ref, gvpb_ref, g_ref,
-                      dwx_ref, dwxd_ref, dwz_ref, dwdz_ref, dpv_ref,
-                      dgvpa_ref, dgvpb_ref,
+                      dpv_ref, dgvpa_ref, dgvpb_ref,
                       h_ref, hdy_ref, hdz_ref, dh_ref, dhdy_ref, dhdz_ref):
     t = pl.program_id(0)
 
@@ -394,15 +429,13 @@ def _g2p_c_bwd_kernel(meta_ref, wx_ref, wxd_ref, wz_ref, wdz_ref, pv_ref,
         dgvpa_ref[:] = jnp.zeros_like(dgvpa_ref)
         dgvpb_ref[:] = jnp.zeros_like(dgvpb_ref)
 
-    Wx, WxD = wx_ref[:], wxd_ref[:]
-    Wz, WDz = wz_ref[:], wdz_ref[:]
     g = g_ref[:]
-    wx = Wx.shape[0]
-    n_z = Wz.shape[0]
+    n_z = gvpa_ref.shape[0] // 8
+    wx = gvpa_ref.shape[1] // 3
     half = (_WY // 2) * n_z
-    py = pv_ref[0:1, :]
-    cyo = meta_ref[2, t].astype(jnp.float32)
-    (Wy, WDy), vjp_y = jax.vjp(lambda p: _wy16(p, cyo), py)
+    (Wx, WxD, Wy, WDy, Wz, WDz), (vjp_x, vjp_y, vjp_z) = _vjp_weights(
+        meta_ref, t, pv_ref[0:1, :], pv_ref[1:2, :], pv_ref[2:3, :],
+        wx, n_z)
 
     for y in range(_WY):
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * Wz
@@ -431,8 +464,6 @@ def _g2p_c_bwd_kernel(meta_ref, wx_ref, wxd_ref, wz_ref, wdz_ref, pv_ref,
         r_h.append(Wx * dv + WxD * dm0)
         r_dy.append(Wx * dm1)
         r_dz.append(Wx * dm2)
-    dwx_ref[:] = dwx
-    dwxd_ref[:] = dwxd
     rh = jnp.concatenate(r_h, axis=0)
     rdy = jnp.concatenate(r_dy, axis=0)
     rdz = jnp.concatenate(r_dz, axis=0)
@@ -457,18 +488,20 @@ def _g2p_c_bwd_kernel(meta_ref, wx_ref, wxd_ref, wz_ref, wdz_ref, pv_ref,
         blk_dy = dhdy_ref[y * n_z:(y + 1) * n_z, :]
         dwdy_rows.append(jnp.sum(Wz * blk_dy, 0, keepdims=True))
         dwz = dwz + WDy[y:y + 1, :] * blk_dy
-    dwz_ref[:] = dwz
-    dwdz_ref[:] = dwdz
     dwy = jnp.concatenate(dwy_rows, axis=0)
     dwdy = jnp.concatenate(dwdy_rows, axis=0)
+    dpx, = vjp_x((dwx, dwxd))
     dpy, = vjp_y((dwy, dwdy))
-    dpv_ref[0:1, :] = dpy
-    dpv_ref[1:8, :] = jnp.zeros_like(dpv_ref[1:8, :])
+    dpz, = vjp_z((dwz, dwdz))
+    dpv_ref[0:1, :] = dpx
+    dpv_ref[1:2, :] = dpy
+    dpv_ref[2:3, :] = dpz
+    dpv_ref[3:8, :] = jnp.zeros_like(dpv_ref[3:8, :])
 
 
-def _gather_c_bwd_kernel(meta_ref, wx_ref, wz_ref, pv_ref, gvpa_ref,
+def _gather_c_bwd_kernel(meta_ref, pv_ref, gvpa_ref,
                          gvpb_ref, dv_ref,
-                         dwx_ref, dwz_ref, dpv_ref, dgvpa_ref, dgvpb_ref,
+                         dpv_ref, dgvpa_ref, dgvpb_ref,
                          h_ref, dh_ref):
     t = pl.program_id(0)
 
@@ -477,14 +510,13 @@ def _gather_c_bwd_kernel(meta_ref, wx_ref, wz_ref, pv_ref, gvpa_ref,
         dgvpa_ref[:] = jnp.zeros_like(dgvpa_ref)
         dgvpb_ref[:] = jnp.zeros_like(dgvpb_ref)
 
-    Wx, Wz = wx_ref[:], wz_ref[:]
     dv = dv_ref[:]
-    wx = Wx.shape[0]
-    n_z = Wz.shape[0]
+    n_z = gvpa_ref.shape[0] // 8
+    wx = gvpa_ref.shape[1] // 3
     half = (_WY // 2) * n_z
-    py = pv_ref[0:1, :]
-    cyo = meta_ref[2, t].astype(jnp.float32)
-    (Wy, WDy), vjp_y = jax.vjp(lambda p: _wy16(p, cyo), py)
+    (Wx, WxD, Wy, WDy, Wz, WDz), (vjp_x, vjp_y, vjp_z) = _vjp_weights(
+        meta_ref, t, pv_ref[0:1, :], pv_ref[1:2, :], pv_ref[2:3, :],
+        wx, n_z)
 
     for y in range(_WY):
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * Wz
@@ -503,7 +535,6 @@ def _gather_c_bwd_kernel(meta_ref, wx_ref, wz_ref, pv_ref, gvpa_ref,
     dgvpa_ref[:] += dgvp[:half]
     dgvpb_ref[:] += dgvp[half:]
     dh_ref[:] = _dot_rows(gvp, rcat)
-    dwx_ref[:] = dwx
 
     dwz = jnp.zeros_like(Wz)
     dwy_rows = []                 # row-concat (no scatter in Mosaic)
@@ -511,23 +542,24 @@ def _gather_c_bwd_kernel(meta_ref, wx_ref, wz_ref, pv_ref, gvpa_ref,
         blk = dh_ref[y * n_z:(y + 1) * n_z, :]
         dwy_rows.append(jnp.sum(Wz * blk, 0, keepdims=True))
         dwz = dwz + Wy[y:y + 1, :] * blk
-    dwz_ref[:] = dwz
+    dpx, = vjp_x((dwx, jnp.zeros_like(WxD)))
     dpy, = vjp_y((jnp.concatenate(dwy_rows, axis=0), jnp.zeros_like(WDy)))
-    dpv_ref[0:1, :] = dpy
-    dpv_ref[1:8, :] = jnp.zeros_like(dpv_ref[1:8, :])
+    dpz, = vjp_z((dwz, jnp.zeros_like(WDz)))
+    dpv_ref[0:1, :] = dpx
+    dpv_ref[1:2, :] = dpy
+    dpv_ref[2:3, :] = dpz
+    dpv_ref[3:8, :] = jnp.zeros_like(dpv_ref[3:8, :])
 
 
-def _splat_c_bwd_kernel(meta_ref, wx_ref, wz_ref, vals_ref,
+def _splat_c_bwd_kernel(meta_ref, vals_ref,
                         dpa_ref, dpb_ref,
-                        dwx_ref, dwz_ref, dvals_ref, h_ref, dh_ref):
+                        dvals_ref, h_ref, dh_ref):
     t = pl.program_id(0)
-    Wx, Wz = wx_ref[:], wz_ref[:]
     vals = vals_ref[:]
-    wx = Wx.shape[0]
-    n_z = Wz.shape[0]
-    py = vals[3:4, :]
-    cyo = meta_ref[2, t].astype(jnp.float32)
-    (Wy, WDy), vjp_y = jax.vjp(lambda p: _wy16(p, cyo), py)
+    n_z = dpa_ref.shape[0] // 8
+    wx = dpa_ref.shape[1] // 3
+    (Wx, WxD, Wy, WDy, Wz, WDz), (vjp_x, vjp_y, vjp_z) = _vjp_weights(
+        meta_ref, t, vals[3:4, :], vals[4:5, :], vals[5:6, :], wx, n_z)
 
     for y in range(_WY):
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * Wz
@@ -543,7 +575,6 @@ def _splat_c_bwd_kernel(meta_ref, wx_ref, wz_ref, vals_ref,
         dwx = dwx + vals[d:d + 1, :] * N
         rv.append(Wx * vals[d:d + 1, :])
     dh_ref[:] = _dot_rows(doutp, jnp.concatenate(rv, axis=0))
-    dwx_ref[:] = dwx
 
     dwz = jnp.zeros_like(Wz)
     dwy_rows = []                 # row-concat (no scatter in Mosaic)
@@ -551,10 +582,13 @@ def _splat_c_bwd_kernel(meta_ref, wx_ref, wz_ref, vals_ref,
         blk = dh_ref[y * n_z:(y + 1) * n_z, :]
         dwy_rows.append(jnp.sum(Wz * blk, 0, keepdims=True))
         dwz = dwz + Wy[y:y + 1, :] * blk
-    dwz_ref[:] = dwz
+    dpx, = vjp_x((dwx, jnp.zeros_like(WxD)))
     dpy, = vjp_y((jnp.concatenate(dwy_rows, axis=0), jnp.zeros_like(WDy)))
-    dvals_ref[3:4, :] = dpy
-    dvals_ref[4:8, :] = jnp.zeros_like(dvals_ref[4:8, :])
+    dpz, = vjp_z((dwz, jnp.zeros_like(WDz)))
+    dvals_ref[3:4, :] = dpx
+    dvals_ref[4:5, :] = dpy
+    dvals_ref[5:6, :] = dpz
+    dvals_ref[6:8, :] = jnp.zeros_like(dvals_ref[6:8, :])
 
 
 # ---------------------------------------------------------------------------
@@ -580,11 +614,11 @@ def _specs(tile, wz, wx):
     return lane, grid_a, grid_b
 
 
-def _p2g_c_pallas(Wx, WxD, Wz, WDz, chan, meta, wy):
-    wx, n = Wx.shape
-    wz = Wz.shape[0]
+def _p2g_c_pallas(chan, meta, window):
+    wx, wy, wz = window
+    n = chan.shape[1]
     tile = _TILE_C
-    (Wx, WxD, Wz, WDz, chan), n_pad = _pad_tile([Wx, WxD, Wz, WDz, chan], n)
+    (chan,), n_pad = _pad_tile([chan], n)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
 
@@ -594,7 +628,7 @@ def _p2g_c_pallas(Wx, WxD, Wz, WDz, chan, meta, wy):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // tile,),
-        in_specs=[lane(wx), lane(wx), lane(wz), lane(wz), lane(16)],
+        in_specs=[lane(16)],
         out_specs=[grid_a(4 * wx), grid_b(4 * wx), grid_a(3 * wx),
                    grid_b(3 * wx), grid_a(3 * wx), grid_b(3 * wx)],
         scratch_shapes=[slab, pltpu.VMEM((4 * wx, tile), jnp.float32)],
@@ -605,7 +639,7 @@ def _p2g_c_pallas(Wx, WxD, Wz, WDz, chan, meta, wy):
         out_shape=[out(4 * wx), out(4 * wx), out(3 * wx), out(3 * wx),
                    out(3 * wx), out(3 * wx)],
         interpret=_INTERPRET,
-    )(meta, Wx, WxD, Wz, WDz, chan)
+    )(meta, chan)
     o1 = _combine_ab(o1a, o1b, meta, wy, wz)
     o2 = _combine_ab(o2a, o2b, meta, wy, wz)
     o3 = _combine_ab(o3a, o3b, meta, wy, wz)
@@ -614,41 +648,38 @@ def _p2g_c_pallas(Wx, WxD, Wz, WDz, chan, meta, wy):
     return gm, gmom
 
 
-def _p2g_c_bwd_pallas(Wx, WxD, Wz, WDz, chan, meta, wy, dgm, dgmom):
-    wx, n = Wx.shape
-    wz = Wz.shape[0]
+def _p2g_c_bwd_pallas(chan, meta, window, dgm, dgmom):
+    wx, wy, wz = window
+    n = chan.shape[1]
     tile = _TILE_C
-    (Wx, WxD, Wz, WDz, chan), n_pad = _pad_tile([Wx, WxD, Wz, WDz, chan], n)
+    (chan,), n_pad = _pad_tile([chan], n)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
     do1 = jnp.concatenate([dgm, dgmom], axis=1)
 
-    def out(rows):
-        return jax.ShapeDtypeStruct((rows, n_pad), jnp.float32)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // tile,),
-        in_specs=[lane(wx), lane(wx), lane(wz), lane(wz), lane(16),
+        in_specs=[lane(16),
                   grid_a(4 * wx), grid_b(4 * wx),
                   grid_a(3 * wx), grid_b(3 * wx)],
-        out_specs=[lane(wx), lane(wx), lane(wz), lane(wz), lane(16)],
+        out_specs=[lane(16)],
         scratch_shapes=[slab, slab],
     )
-    dwx, dwxd, dwz, dwdz, dchan = pl.pallas_call(
+    dchan, = pl.pallas_call(
         _p2g_c_bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=[out(wx), out(wx), out(wz), out(wz), out(16)],
+        out_shape=[jax.ShapeDtypeStruct((16, n_pad), jnp.float32)],
         interpret=_INTERPRET,
-    )(meta, Wx, WxD, Wz, WDz, chan, do1, do1, dgmom, dgmom)
-    return (dwx[:, :n], dwxd[:, :n], dwz[:, :n], dwdz[:, :n], dchan[:, :n])
+    )(meta, chan, do1, do1, dgmom, dgmom)
+    return dchan[:, :n]
 
 
-def _g2p_c_pallas(Wx, WxD, Wz, WDz, pv, gv0, gv1, gv2, meta, wy):
-    wx, n = Wx.shape
-    wz = Wz.shape[0]
+def _g2p_c_pallas(pv, gv0, gv1, gv2, meta, window):
+    wx, wy, wz = window
+    n = pv.shape[1]
     tile = _TILE_C
-    (Wx, WxD, Wz, WDz, pv), n_pad = _pad_tile([Wx, WxD, Wz, WDz, pv], n)
+    (pv,), n_pad = _pad_tile([pv], n)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
     gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
@@ -656,8 +687,7 @@ def _g2p_c_pallas(Wx, WxD, Wz, WDz, pv, gv0, gv1, gv2, meta, wy):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // tile,),
-        in_specs=[lane(wx), lane(wx), lane(wz), lane(wz), lane(8),
-                  grid_a(3 * wx), grid_b(3 * wx)],
+        in_specs=[lane(8), grid_a(3 * wx), grid_b(3 * wx)],
         out_specs=lane(16),
         scratch_shapes=[slab, slab, slab],
     )
@@ -666,51 +696,44 @@ def _g2p_c_pallas(Wx, WxD, Wz, WDz, pv, gv0, gv1, gv2, meta, wy):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
         interpret=_INTERPRET,
-    )(meta, Wx, WxD, Wz, WDz, pv, gvp, gvp)
+    )(meta, pv, gvp, gvp)
     return out[:, :n]
 
 
-def _g2p_c_bwd_pallas(Wx, WxD, Wz, WDz, pv, gv0, gv1, gv2, meta, wy, g):
-    wx, n = Wx.shape
-    wz = Wz.shape[0]
+def _g2p_c_bwd_pallas(pv, gv0, gv1, gv2, meta, window, g):
+    wx, wy, wz = window
+    n = pv.shape[1]
     tile = _TILE_C
-    (Wx, WxD, Wz, WDz, pv, g), n_pad = _pad_tile(
-        [Wx, WxD, Wz, WDz, pv, g], n)
+    (pv, g), n_pad = _pad_tile([pv, g], n)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
     gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
 
-    def out(rows):
-        return jax.ShapeDtypeStruct((rows, n_pad), jnp.float32)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // tile,),
-        in_specs=[lane(wx), lane(wx), lane(wz), lane(wz), lane(8),
-                  grid_a(3 * wx), grid_b(3 * wx), lane(16)],
-        out_specs=[lane(wx), lane(wx), lane(wz), lane(wz), lane(8),
-                   grid_a(3 * wx), grid_b(3 * wx)],
+        in_specs=[lane(8), grid_a(3 * wx), grid_b(3 * wx), lane(16)],
+        out_specs=[lane(8), grid_a(3 * wx), grid_b(3 * wx)],
         scratch_shapes=[slab] * 6,
     )
     outs = pl.pallas_call(
         _g2p_c_bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=[out(wx), out(wx), out(wz), out(wz), out(8),
+        out_shape=[jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32),
                    jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32)],
         interpret=_INTERPRET,
-    )(meta, Wx, WxD, Wz, WDz, pv, gvp, gvp, g)
-    dwx, dwxd, dwz, dwdz, dpv = (o[:, :n] for o in outs[:5])
-    dgvp = _combine_ab(outs[5], outs[6], meta, wy, wz)
-    return (dwx, dwxd, dwz, dwdz, dpv,
-            dgvp[:, :wx], dgvp[:, wx:2 * wx], dgvp[:, 2 * wx:])
+    )(meta, pv, gvp, gvp, g)
+    dpv = outs[0][:, :n]
+    dgvp = _combine_ab(outs[1], outs[2], meta, wy, wz)
+    return (dpv, dgvp[:, :wx], dgvp[:, wx:2 * wx], dgvp[:, 2 * wx:])
 
 
-def _gather_c_pallas(Wx, Wz, pv, gv0, gv1, gv2, meta, wy):
-    wx, n = Wx.shape
-    wz = Wz.shape[0]
+def _gather_c_pallas(pv, gv0, gv1, gv2, meta, window):
+    wx, wy, wz = window
+    n = pv.shape[1]
     tile = _TILE_C
-    (Wx, Wz, pv), n_pad = _pad_tile([Wx, Wz, pv], n)
+    (pv,), n_pad = _pad_tile([pv], n)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
     gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
@@ -718,8 +741,7 @@ def _gather_c_pallas(Wx, Wz, pv, gv0, gv1, gv2, meta, wy):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // tile,),
-        in_specs=[lane(wx), lane(wz), lane(8), grid_a(3 * wx),
-                  grid_b(3 * wx)],
+        in_specs=[lane(8), grid_a(3 * wx), grid_b(3 * wx)],
         out_specs=lane(8),
         scratch_shapes=[slab],
     )
@@ -728,57 +750,52 @@ def _gather_c_pallas(Wx, Wz, pv, gv0, gv1, gv2, meta, wy):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         interpret=_INTERPRET,
-    )(meta, Wx, Wz, pv, gvp, gvp)
+    )(meta, pv, gvp, gvp)
     return out[0:3, :n]
 
 
-def _gather_c_bwd_pallas(Wx, Wz, pv, gv0, gv1, gv2, meta, wy, dv):
-    wx, n = Wx.shape
-    wz = Wz.shape[0]
+def _gather_c_bwd_pallas(pv, gv0, gv1, gv2, meta, window, dv):
+    wx, wy, wz = window
+    n = pv.shape[1]
     tile = _TILE_C
     dv8 = jnp.concatenate([dv, jnp.zeros((5, n), dv.dtype)], axis=0)
-    (Wx, Wz, pv, dv8), n_pad = _pad_tile([Wx, Wz, pv, dv8], n)
+    (pv, dv8), n_pad = _pad_tile([pv, dv8], n)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
     gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
 
-    def out(rows):
-        return jax.ShapeDtypeStruct((rows, n_pad), jnp.float32)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // tile,),
-        in_specs=[lane(wx), lane(wz), lane(8), grid_a(3 * wx),
-                  grid_b(3 * wx), lane(8)],
-        out_specs=[lane(wx), lane(wz), lane(8),
-                   grid_a(3 * wx), grid_b(3 * wx)],
+        in_specs=[lane(8), grid_a(3 * wx), grid_b(3 * wx), lane(8)],
+        out_specs=[lane(8), grid_a(3 * wx), grid_b(3 * wx)],
         scratch_shapes=[slab, slab],
     )
     outs = pl.pallas_call(
         _gather_c_bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=[out(wx), out(wz), out(8),
+        out_shape=[jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32),
                    jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32)],
         interpret=_INTERPRET,
-    )(meta, Wx, Wz, pv, gvp, gvp, dv8)
-    dwx, dwz, dpv = (o[:, :n] for o in outs[:3])
-    dgvp = _combine_ab(outs[3], outs[4], meta, wy, wz)
-    return (dwx, dwz, dpv, dgvp[:, :wx], dgvp[:, wx:2 * wx], dgvp[:, 2 * wx:])
+    )(meta, pv, gvp, gvp, dv8)
+    dpv = outs[0][:, :n]
+    dgvp = _combine_ab(outs[1], outs[2], meta, wy, wz)
+    return (dpv, dgvp[:, :wx], dgvp[:, wx:2 * wx], dgvp[:, 2 * wx:])
 
 
-def _splat_c_pallas(Wx, Wz, vals, meta, wy):
-    wx, n = Wx.shape
-    wz = Wz.shape[0]
+def _splat_c_pallas(vals, meta, window):
+    wx, wy, wz = window
+    n = vals.shape[1]
     tile = _TILE_C
-    (Wx, Wz, vals), n_pad = _pad_tile([Wx, Wz, vals], n)
+    (vals,), n_pad = _pad_tile([vals], n)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // tile,),
-        in_specs=[lane(wx), lane(wz), lane(8)],
+        in_specs=[lane(8)],
         out_specs=[grid_a(3 * wx), grid_b(3 * wx)],
         scratch_shapes=[slab, pltpu.VMEM((3 * wx, tile), jnp.float32)],
     )
@@ -787,36 +804,32 @@ def _splat_c_pallas(Wx, Wz, vals, meta, wy):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((wy * wz, 3 * wx), jnp.float32)] * 2,
         interpret=_INTERPRET,
-    )(meta, Wx, Wz, vals)
+    )(meta, vals)
     return _combine_ab(oa, ob, meta, wy, wz)
 
 
-def _splat_c_bwd_pallas(Wx, Wz, vals, meta, wy, dout):
-    wx, n = Wx.shape
-    wz = Wz.shape[0]
+def _splat_c_bwd_pallas(vals, meta, window, dout):
+    wx, wy, wz = window
+    n = vals.shape[1]
     tile = _TILE_C
-    (Wx, Wz, vals), n_pad = _pad_tile([Wx, Wz, vals], n)
+    (vals,), n_pad = _pad_tile([vals], n)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
-
-    def out(rows):
-        return jax.ShapeDtypeStruct((rows, n_pad), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // tile,),
-        in_specs=[lane(wx), lane(wz), lane(8),
-                  grid_a(3 * wx), grid_b(3 * wx)],
-        out_specs=[lane(wx), lane(wz), lane(8)],
+        in_specs=[lane(8), grid_a(3 * wx), grid_b(3 * wx)],
+        out_specs=[lane(8)],
         scratch_shapes=[slab, slab],
     )
-    dwx, dwz, dvals = pl.pallas_call(
+    dvals, = pl.pallas_call(
         _splat_c_bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=[out(wx), out(wz), out(8)],
+        out_shape=[jax.ShapeDtypeStruct((8, n_pad), jnp.float32)],
         interpret=_INTERPRET,
-    )(meta, Wx, Wz, vals, dout, dout)
-    return dwx[:, :n], dwz[:, :n], dvals[:, :n]
+    )(meta, vals, dout, dout)
+    return dvals[:, :n]
 
 
 # ---------------------------------------------------------------------------
@@ -825,21 +838,35 @@ def _splat_c_bwd_pallas(Wx, Wz, vals, meta, wy, dout):
 # delegate to the dense pallas_fused references.
 # ---------------------------------------------------------------------------
 
-def _ref_family(wy):
-    def p2g_ref(Wx, WxD, Wz, WDz, chan, meta):
-        Wy, WDy = _wy_xla(chan[13], meta, wy, Wx.shape[1])
+def _ref_family(window):
+    """XLA references: rebuild all six weight blocks from the position rows
+    (x/z via _waxis — plain jnp, runs fine outside kernels; y via the
+    truncation-aware _wy_xla) and delegate to the dense pallas_fused refs."""
+    wx, wy, wz = window
+
+    def weights(px, py, pz, meta, n):
+        Wx, WxD = _waxis(px[None, :], meta[4, 0].astype(jnp.float32), wx)
+        Wz, WDz = _waxis(pz[None, :], meta[5, 0].astype(jnp.float32), wz)
+        Wy, WDy = _wy_xla(py, meta, wy, n)
+        return Wx, WxD, Wy, WDy, Wz, WDz
+
+    def p2g_ref(chan, meta):
+        Wx, WxD, Wy, WDy, Wz, WDz = weights(
+            chan[13], chan[14], chan[15], meta, chan.shape[1])
         return _pf._p2g_ref(Wx, WxD, Wy, WDy, Wz, WDz, chan)
 
-    def g2p_ref(Wx, WxD, Wz, WDz, pv, gv0, gv1, gv2, meta):
-        Wy, WDy = _wy_xla(pv[0], meta, wy, Wx.shape[1])
+    def g2p_ref(pv, gv0, gv1, gv2, meta):
+        Wx, WxD, Wy, WDy, Wz, WDz = weights(
+            pv[0], pv[1], pv[2], meta, pv.shape[1])
         return _pf._g2p_ref(Wx, WxD, Wy, WDy, Wz, WDz, gv0, gv1, gv2)
 
-    def gather_ref(Wx, Wz, pv, gv0, gv1, gv2, meta):
-        Wy, _ = _wy_xla(pv[0], meta, wy, Wx.shape[1])
+    def gather_ref(pv, gv0, gv1, gv2, meta):
+        Wx, _, Wy, _, Wz, _ = weights(pv[0], pv[1], pv[2], meta, pv.shape[1])
         return _pf._gather_ref(Wx, Wy, Wz, gv0, gv1, gv2)
 
-    def splat_ref(Wx, Wz, vals, meta):
-        Wy, _ = _wy_xla(vals[3], meta, wy, Wx.shape[1])
+    def splat_ref(vals, meta):
+        Wx, _, Wy, _, Wz, _ = weights(
+            vals[3], vals[4], vals[5], meta, vals.shape[1])
         return _pf._splat_ref(Wx, Wy, Wz, vals[0:3])
 
     return p2g_ref, g2p_ref, gather_ref, splat_ref
@@ -859,67 +886,72 @@ import types as _types
 
 
 @_functools.lru_cache(maxsize=None)
-def family(wy):
-    """The four chunked transfer entries for a static window height wy.
+def family(window):
+    """The four chunked transfer entries for a static window (wx, wy, wz).
     Same output avals as the pallas_fused entries so mpm.substep can pick
-    either family per window geometry."""
+    either family per window geometry. All B-spline weights are built
+    INSIDE the kernels from the scaled position rows (chan 13-15 / pv 0-2 /
+    vals 3-5): no (w, N) weight array exists in HBM, and the backward
+    kernels map weight cotangents straight to position-row cotangents."""
+    window = tuple(int(w) for w in window)
 
     @jax.custom_vjp
-    def p2g_c(Wx, WxD, Wz, WDz, chan, meta):
-        return _p2g_c_pallas(Wx, WxD, Wz, WDz, chan, meta, wy)
+    def p2g_c(chan, meta):
+        return _p2g_c_pallas(chan, meta, window)
 
     def _p2g_fwd(*args):
         return p2g_c(*args), args
 
     def _p2g_bwd(res, g):
         dgm, dgmom = g
-        *ws, meta = res
-        return _p2g_c_bwd_pallas(*ws, meta, wy, dgm, dgmom) \
-            + (_zero_meta(meta),)
+        chan, meta = res
+        return (_p2g_c_bwd_pallas(chan, meta, window, dgm, dgmom),
+                _zero_meta(meta))
 
     p2g_c.defvjp(_p2g_fwd, _p2g_bwd)
 
     @jax.custom_vjp
-    def g2p_c(Wx, WxD, Wz, WDz, pv, gv0, gv1, gv2, meta):
-        return _g2p_c_pallas(Wx, WxD, Wz, WDz, pv, gv0, gv1, gv2, meta, wy)
+    def g2p_c(pv, gv0, gv1, gv2, meta):
+        return _g2p_c_pallas(pv, gv0, gv1, gv2, meta, window)
 
     def _g2p_fwd(*args):
         return g2p_c(*args), args
 
     def _g2p_bwd(res, g):
         *ws, meta = res
-        return _g2p_c_bwd_pallas(*ws, meta, wy, g) + (_zero_meta(meta),)
+        return _g2p_c_bwd_pallas(*ws, meta, window, g) + (_zero_meta(meta),)
 
     g2p_c.defvjp(_g2p_fwd, _g2p_bwd)
 
     @jax.custom_vjp
-    def gather_c(Wx, Wz, pv, gv0, gv1, gv2, meta):
-        return _gather_c_pallas(Wx, Wz, pv, gv0, gv1, gv2, meta, wy)
+    def gather_c(pv, gv0, gv1, gv2, meta):
+        return _gather_c_pallas(pv, gv0, gv1, gv2, meta, window)
 
     def _gather_fwd(*args):
         return gather_c(*args), args
 
     def _gather_bwd(res, g):
         *ws, meta = res
-        return _gather_c_bwd_pallas(*ws, meta, wy, g) + (_zero_meta(meta),)
+        return _gather_c_bwd_pallas(*ws, meta, window, g) \
+            + (_zero_meta(meta),)
 
     gather_c.defvjp(_gather_fwd, _gather_bwd)
 
     @jax.custom_vjp
-    def splat_c(Wx, Wz, vals, meta):
-        return _splat_c_pallas(Wx, Wz, vals, meta, wy)
+    def splat_c(vals, meta):
+        return _splat_c_pallas(vals, meta, window)
 
     def _splat_fwd(*args):
         return splat_c(*args), args
 
     def _splat_bwd(res, g):
-        Wx, Wz, vals, meta = res
-        return _splat_c_bwd_pallas(Wx, Wz, vals, meta, wy, g) \
-            + (_zero_meta(meta),)
+        vals, meta = res
+        return (_splat_c_bwd_pallas(vals, meta, window, g),
+                _zero_meta(meta))
 
     splat_c.defvjp(_splat_fwd, _splat_bwd)
 
-    p2g_ref, g2p_ref, gather_ref, splat_ref = _ref_family(wy)
+    p2g_ref, g2p_ref, gather_ref, splat_ref = _ref_family(window)
     return _types.SimpleNamespace(
         p2g=p2g_c, g2p=g2p_c, gather=gather_c, splat=splat_c,
         p2g_ref=p2g_ref, g2p_ref=g2p_ref, gather_ref=gather_ref,

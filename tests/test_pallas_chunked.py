@@ -2,11 +2,12 @@
 reference path, in Pallas interpret mode on CPU.
 
 Inputs are SORTED by base y-cell (the production precondition established
-by mpm.sort_perm in env._env_step_fn); _TILE_C is shrunk to 256 so n=700
-spans 3 tiles and exercises the dynamic-block accumulation, the first-visit
-zeroing, and the A/B combine masks. When no tile overflows its 16-row
-window, the chunked results must equal the FULL dense references (the
-truncation drops nothing)."""
+by the sorted-carry rollout, env._build_rollout); _TILE_C is shrunk to 256
+so n=700 spans 3 tiles and exercises the dynamic-block accumulation, the
+first-visit zeroing, and the A/B combine masks. When no tile overflows its
+16-row window, the chunked results must equal the FULL dense references
+(the truncation drops nothing). All weights are built in-kernel from the
+position rows (chan 13-15 / pv 0-2 / vals 3-5)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -33,8 +34,8 @@ def _setup(seed=0):
     x_vec = tuple(jnp.asarray(x[d]) for d in range(3))
     sizes, corner, _ = mpm.window_geometry(cfg, x_vec)
     W, WD = mpm.axis_weights(cfg, x_vec, sizes, corner)
-    py = x_vec[1] * cfg.inv_dx
-    meta, ovf = pallas_chunked.chunk_meta(py, corner[1], WY)
+    ps = tuple(x_vec[d] * cfg.inv_dx for d in range(3))
+    meta, ovf = pallas_chunked.chunk_meta(ps[1], corner, WY)
     assert not bool(ovf)
     v = tuple(jnp.asarray(rng.standard_normal(N), jnp.float32)
               for _ in range(3))
@@ -44,7 +45,7 @@ def _setup(seed=0):
                          for _ in range(3)) for _ in range(3))
     impulse = tuple(jnp.asarray(1e-3 * rng.standard_normal(N), jnp.float32)
                     for _ in range(3))
-    return cfg, x_vec, py, W, WD, meta, v, C, stress, impulse
+    return cfg, x_vec, ps, W, WD, meta, v, C, stress, impulse
 
 
 @pytest.fixture()
@@ -52,50 +53,62 @@ def fam(monkeypatch):
     monkeypatch.setattr(pallas_chunked, "_INTERPRET", True)
     monkeypatch.setattr(pallas_chunked, "_TILE_C", 256)
     pallas_chunked.family.cache_clear()
-    yield pallas_chunked.family(WY)
+    yield pallas_chunked.family(WINDOW)
     pallas_chunked.family.cache_clear()
 
 
-def _chan(cfg, py, v, C, stress, impulse):
+def _chan(cfg, ps, v, C, stress, impulse):
     chan = mpm._p2g_channels(cfg, v, C, stress, impulse)
-    return chan.at[13, :].set(py)
+    return chan.at[13].set(ps[0]).at[14].set(ps[1]).at[15].set(ps[2])
+
+
+def _pv(ps):
+    return jnp.zeros((8, N), jnp.float32) \
+        .at[0].set(ps[0]).at[1].set(ps[1]).at[2].set(ps[2])
+
+
+def _vals8(vals3, ps):
+    return jnp.concatenate(
+        [vals3, jnp.stack([ps[0], ps[1], ps[2]]),
+         jnp.zeros((2, N), jnp.float32)], axis=0)
 
 
 def test_meta(fam):
-    _, _, py, _, _, meta, *_ = _setup()
+    _, _, _, _, _, meta, *_ = _setup()
     m = np.asarray(meta)
     assert (np.diff(m[0]) >= 0).all()          # monotone block offsets
     assert m[1, 0] == 1                        # first tile zeroes
     assert (m[0] * 8 == m[3]).all()
+    assert (m[4] == m[4, 0]).all() and (m[5] == m[5, 0]).all()  # corners
 
 
 def test_p2g_chunked_matches_dense(fam):
-    cfg, x_vec, py, W, WD, meta, v, C, stress, impulse = _setup()
+    cfg, x_vec, ps, W, WD, meta, v, C, stress, impulse = _setup()
     Hyz, HyzDy, HyzDz = mpm.hyz_family(cfg, W, WD)
     ref = mpm.p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
-    chan = _chan(cfg, py, v, C, stress, impulse)
+    chan = _chan(cfg, ps, v, C, stress, impulse)
 
-    gm, gmom = fam.p2g(W[0], WD[0], W[2], WD[2], chan, meta)
+    gm, gmom = fam.p2g(chan, meta)
     np.testing.assert_allclose(gm, ref[0], rtol=2e-3, atol=2e-3)
     for d in range(3):
         np.testing.assert_allclose(gmom[:, d * WX:(d + 1) * WX], ref[1 + d],
                                    rtol=2e-3, atol=2e-3)
 
     # the truncation-aware XLA ref agrees too (it is the CPU branch)
-    gm_r, gmom_r = fam.p2g_ref(W[0], WD[0], W[2], WD[2], chan, meta)
+    gm_r, gmom_r = fam.p2g_ref(chan, meta)
     np.testing.assert_allclose(gm_r, ref[0], rtol=1e-5, atol=1e-5)
 
 
 def test_g2p_gather_splat_chunked_match_dense(fam):
-    cfg, x_vec, py, W, WD, meta, v, C, stress, impulse = _setup(seed=1)
+    cfg, x_vec, ps, W, WD, meta, v, C, stress, impulse = _setup(seed=1)
     rng = np.random.default_rng(2)
     gv = tuple(jnp.asarray(rng.standard_normal((WY * WZ, WX)), jnp.float32)
                for _ in range(3))
     Hyz, HyzDy, HyzDz = mpm.hyz_family(cfg, W, WD)
-    pv = jnp.zeros((8, N), jnp.float32).at[0, :].set(py)
+    pv = _pv(ps)
 
     v_ref, C_ref, _ = mpm.g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, gv, v)
-    out = fam.g2p(W[0], WD[0], W[2], WD[2], pv, *gv, meta)
+    out = fam.g2p(pv, *gv, meta)
     scale = 4.0 * cfg.inv_dx
     for d in range(3):
         np.testing.assert_allclose(out[d], v_ref[d], rtol=2e-3, atol=2e-3)
@@ -103,15 +116,14 @@ def test_g2p_gather_splat_chunked_match_dense(fam):
             np.testing.assert_allclose(scale * out[3 + 3 * d + j],
                                        C_ref[d][j], rtol=2e-3, atol=3e-3)
 
-    got = fam.gather(W[0], W[2], pv, *gv, meta)
+    got = fam.gather(pv, *gv, meta)
     vg_ref = mpm.gather_dense(cfg, W, Hyz, gv)
     for d in range(3):
         np.testing.assert_allclose(got[d], vg_ref[d], rtol=2e-3, atol=2e-3)
 
-    vals = jnp.asarray(rng.standard_normal((3, N)), jnp.float32)
-    vals8 = jnp.zeros((8, N), jnp.float32).at[0:3].set(vals).at[3].set(py)
-    s_ref = mpm.splat_channels(cfg, W, Hyz, [vals[d] for d in range(3)])
-    got = fam.splat(W[0], W[2], vals8, meta)
+    vals3 = jnp.asarray(rng.standard_normal((3, N)), jnp.float32)
+    s_ref = mpm.splat_channels(cfg, W, Hyz, [vals3[d] for d in range(3)])
+    got = fam.splat(_vals8(vals3, ps), meta)
     for d in range(3):
         np.testing.assert_allclose(got[:, d * WX:(d + 1) * WX], s_ref[d],
                                    rtol=2e-3, atol=2e-3)
@@ -171,31 +183,29 @@ def test_substep_chunked_route_matches_dense():
 
 
 def test_chunked_grads_match_refs(fam):
-    """Cotangents of every differentiable input — including the py rows
-    that carry the in-kernel Wy build — vs jax.grad of the truncation-aware
-    XLA references."""
-    cfg, x_vec, py, W, WD, meta, v, C, stress, impulse = _setup(seed=3)
+    """Cotangents of every differentiable input — including the position
+    rows that carry the in-kernel weight builds for ALL THREE axes — vs
+    jax.grad of the truncation-aware XLA references."""
+    cfg, x_vec, ps, W, WD, meta, v, C, stress, impulse = _setup(seed=3)
     rng = np.random.default_rng(4)
     gv = tuple(jnp.asarray(rng.standard_normal((WY * WZ, WX)), jnp.float32)
                for _ in range(3))
-    chan = _chan(cfg, py, v, C, stress, impulse)
-    pv = jnp.zeros((8, N), jnp.float32).at[0, :].set(py)
+    chan = _chan(cfg, ps, v, C, stress, impulse)
+    pv = _pv(ps)
 
     pm = jnp.asarray(rng.standard_normal((WY * WZ, WX)), jnp.float32)
     pmom = jnp.asarray(rng.standard_normal((WY * WZ, 3 * WX)), jnp.float32)
-    args = (W[0], WD[0], W[2], WD[2], chan)
 
-    def loss_p2g(fn, a):
-        gm, gmom = fn(*a, meta)
+    def loss_p2g(fn, c):
+        gm, gmom = fn(c, meta)
         return jnp.sum(gm * pm) + jnp.sum(gmom * pmom)
 
-    g_k = jax.grad(lambda a: loss_p2g(fam.p2g, a))(args)
-    g_r = jax.grad(lambda a: loss_p2g(fam.p2g_ref, a))(args)
-    for a, b in zip(g_k, g_r):
-        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+    g_k = jax.grad(lambda c: loss_p2g(fam.p2g, c))(chan)
+    g_r = jax.grad(lambda c: loss_p2g(fam.p2g_ref, c))(chan)
+    np.testing.assert_allclose(g_k, g_r, rtol=3e-3, atol=3e-3)
 
     pg = jnp.asarray(rng.standard_normal((16, N)), jnp.float32)
-    args = (W[0], WD[0], W[2], WD[2], pv) + gv
+    args = (pv,) + gv
 
     def loss_g2p(fn, a):
         return jnp.sum(fn(*a, meta) * pg)
@@ -206,17 +216,13 @@ def test_chunked_grads_match_refs(fam):
         np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
 
     pv3 = jnp.asarray(rng.standard_normal((3, N)), jnp.float32)
-    args = (W[0], W[2], pv) + gv
     g_k = jax.grad(lambda a: jnp.sum(fam.gather(*a, meta) * pv3))(args)
     g_r = jax.grad(lambda a: jnp.sum(fam.gather_ref(*a, meta) * pv3))(args)
     for a, b in zip(g_k, g_r):
         np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
 
-    vals = jnp.asarray(rng.standard_normal((3, N)), jnp.float32)
-    vals8 = jnp.zeros((8, N), jnp.float32).at[0:3].set(vals).at[3].set(py)
-    ps = jnp.asarray(rng.standard_normal((WY * WZ, 3 * WX)), jnp.float32)
-    args = (W[0], W[2], vals8)
-    g_k = jax.grad(lambda a: jnp.sum(fam.splat(*a, meta) * ps))(args)
-    g_r = jax.grad(lambda a: jnp.sum(fam.splat_ref(*a, meta) * ps))(args)
-    for a, b in zip(g_k, g_r):
-        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+    vals8 = _vals8(jnp.asarray(rng.standard_normal((3, N)), jnp.float32), ps)
+    ps_ = jnp.asarray(rng.standard_normal((WY * WZ, 3 * WX)), jnp.float32)
+    g_k = jax.grad(lambda a: jnp.sum(fam.splat(a, meta) * ps_))(vals8)
+    g_r = jax.grad(lambda a: jnp.sum(fam.splat_ref(a, meta) * ps_))(vals8)
+    np.testing.assert_allclose(g_k, g_r, rtol=3e-3, atol=3e-3)
