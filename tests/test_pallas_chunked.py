@@ -226,3 +226,54 @@ def test_chunked_grads_match_refs(fam):
     g_k = jax.grad(lambda a: jnp.sum(fam.splat(a, meta) * ps_))(vals8)
     g_r = jax.grad(lambda a: jnp.sum(fam.splat_ref(a, meta) * ps_))(vals8)
     np.testing.assert_allclose(g_k, g_r, rtol=3e-3, atol=3e-3)
+
+
+@pytest.mark.parametrize("window", [(48, 32, 16), (32, 24, 32)])
+def test_other_window_geometries(monkeypatch, window):
+    """The production chunked windows (pour 48x32x16, grip/hit 32x24x32)
+    through p2g + g2p in interpret mode vs the dense path."""
+    monkeypatch.setattr(pallas_chunked, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_chunked, "_TILE_C", 256)
+    pallas_chunked.family.cache_clear()
+    fam = pallas_chunked.family(window)
+    wx, wy, wz = window
+    n = 700
+    rng = np.random.default_rng(11)
+    cfg = MPMConfig(n_particles=n, n_grid=64, dt=1e-4,
+                    substeps=19, active_window=window)
+    x = (0.42 + 0.16 * rng.random((3, n))).astype(np.float32)
+    x = x[:, np.argsort(np.floor(x[1] * cfg.inv_dx - 0.5))]
+    x_vec = tuple(jnp.asarray(x[d]) for d in range(3))
+    sizes, corner, _ = mpm.window_geometry(cfg, x_vec)
+    W, WD = mpm.axis_weights(cfg, x_vec, sizes, corner)
+    ps = tuple(x_vec[d] * cfg.inv_dx for d in range(3))
+    meta, ovf = pallas_chunked.chunk_meta(ps[1], corner, wy)
+    assert not bool(ovf)
+    v = tuple(jnp.asarray(rng.standard_normal(n), jnp.float32)
+              for _ in range(3))
+    C = tuple(tuple(jnp.asarray(0.1 * rng.standard_normal(n), jnp.float32)
+                    for _ in range(3)) for _ in range(3))
+    stress = tuple(tuple(jnp.asarray(rng.standard_normal(n), jnp.float32)
+                         for _ in range(3)) for _ in range(3))
+    impulse = tuple(jnp.asarray(1e-3 * rng.standard_normal(n), jnp.float32)
+                    for _ in range(3))
+    Hyz, HyzDy, HyzDz = mpm.hyz_family(cfg, W, WD)
+
+    chan = (mpm._p2g_channels(cfg, v, C, stress, impulse)
+            .at[13].set(ps[0]).at[14].set(ps[1]).at[15].set(ps[2]))
+    ref = mpm.p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
+    gm, gmom = fam.p2g(chan, meta)
+    np.testing.assert_allclose(gm, ref[0], rtol=2e-3, atol=2e-3)
+    for d in range(3):
+        np.testing.assert_allclose(gmom[:, d * wx:(d + 1) * wx], ref[1 + d],
+                                   rtol=2e-3, atol=2e-3)
+
+    gv = tuple(jnp.asarray(rng.standard_normal((wy * wz, wx)), jnp.float32)
+               for _ in range(3))
+    pv = (jnp.zeros((8, n), jnp.float32)
+          .at[0].set(ps[0]).at[1].set(ps[1]).at[2].set(ps[2]))
+    v_ref, C_ref, _ = mpm.g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, gv, v)
+    out = fam.g2p(pv, *gv, meta)
+    for d in range(3):
+        np.testing.assert_allclose(out[d], v_ref[d], rtol=2e-3, atol=2e-3)
+    pallas_chunked.family.cache_clear()
