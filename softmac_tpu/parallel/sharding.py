@@ -93,20 +93,47 @@ def params_spec(sp_axis: str):
         gravity=P(), control_idx=P(sp_axis), friction=P(), softness=P())
 
 
+def _scan_env_steps(env, params_local, carry0, actions):
+    """Scan the env step over shard-LOCAL particles, with the same
+    sorted-carry the single-chip rollout uses (env._build_rollout): each
+    shard sorts ITS particles by base y-cell once at entry — P2G psums are
+    partition- and order-invariant — runs the scan with assume_sorted (the
+    chunked Pallas kernels engage on TPU), and unsorts at exit so the
+    sharded carry keeps its external order."""
+    from softmac_tpu.engine import mpm as mpm_mod
+
+    cfg = env.mpm_cfg
+    if not mpm_mod.sorted_transfers_wanted(cfg, env.dtype):
+        def step(c, a):
+            c, _ = env._env_step_fn(c, a, params=params_local)
+            return c, None
+        final, _ = jax.lax.scan(step, carry0, actions)
+        return final
+
+    mpm0, bodies0, rigid0 = carry0
+    q, inv = mpm_mod.sort_perm(cfg, (mpm0.x[0], mpm0.x[1], mpm0.x[2]))
+    carry_s = (mpm_mod.permute_state(mpm0, q), bodies0, rigid0)
+    params_s = mpm_mod.permute_params(params_local, q)
+
+    def step(c, a):
+        c, _ = env._env_step_fn(c, a, params=params_s, assume_sorted=True)
+        return c, None
+
+    (mpm_f, bodies_f, rigid_f), _ = jax.lax.scan(step, carry_s, actions)
+    return (mpm_mod.permute_state(mpm_f, inv), bodies_f, rigid_f)
+
+
 def make_sharded_rollout(env, mesh: Mesh, n_steps: int):
     """jit(shard_map) of the env's OWN step function over a 1d 'sp' mesh:
     rollout(mpm_params, carry0, actions (T, A)) -> final carry."""
 
     def body(params_local, carry0, actions):
-        old_p, old_ax = env.mpm_params, env.particle_axis_name
-        env.mpm_params, env.particle_axis_name = params_local, "sp"
+        old_ax = env.particle_axis_name
+        env.particle_axis_name = "sp"
         try:
-            def step(c, a):
-                c, _ = env._env_step_fn(c, a)
-                return c, None
-            final, _ = jax.lax.scan(step, carry0, actions)
+            final = _scan_env_steps(env, params_local, carry0, actions)
         finally:
-            env.mpm_params, env.particle_axis_name = old_p, old_ax
+            env.particle_axis_name = old_ax
         return final
 
     cspec = carry_spec(env, None, "sp")
@@ -130,15 +157,12 @@ def make_sharded_train_step(env, mesh: Mesh, lr: float = 1e-2):
     def train_step(params_local, carry0, actions, tgt):
         def loss_fn(a):
             carry = jax.tree.map(lambda s: s[0], carry0)  # local dp batch of 1
-            old_p, old_ax = env.mpm_params, env.particle_axis_name
-            env.mpm_params, env.particle_axis_name = params_local, "sp"
+            old_ax = env.particle_axis_name
+            env.particle_axis_name = "sp"
             try:
-                def step(c, act):
-                    c, _ = env._env_step_fn(c, act)
-                    return c, None
-                final, _ = jax.lax.scan(step, carry, a[0])
+                final = _scan_env_steps(env, params_local, carry, a[0])
             finally:
-                env.mpm_params, env.particle_axis_name = old_p, old_ax
+                env.particle_axis_name = old_ax
             mpm = final[0]
             # chamfer over the local particle shard -> psum
             diff = mpm.x.T[:, None, :] - tgt[None, :, :]

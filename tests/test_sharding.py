@@ -69,3 +69,30 @@ def test_sharded_train_step_descends(pour_env):
     loss0, actions1 = step(env.mpm_params, batched, actions, target)
     assert np.isfinite(float(loss0))
     assert not np.allclose(np.asarray(actions1), 0.0)  # gradients flowed
+
+
+def test_sharded_sorted_carry_matches_default(pour_env, monkeypatch):
+    """The sharded scan's per-shard sorted-carry (each shard sorts its local
+    particles, runs assume_sorted, unsorts at exit) must match the default
+    sharded rollout exactly — on CPU f64 the kernels stay off, isolating
+    the local-permutation plumbing under shard_map."""
+    from softmac_tpu.engine import mpm as mpm_mod
+
+    env = pour_env
+    n_steps = 3
+    rng = np.random.RandomState(3)
+    actions = jnp.asarray(rng.uniform(-0.5, 0.5, (n_steps, env.action_dim)))
+    carry0 = env._initial_carry()
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("sp",))
+    ref = sh.make_sharded_rollout(env, mesh, n_steps)(
+        env.mpm_params, carry0, actions)
+
+    monkeypatch.setattr(mpm_mod, "sorted_transfers_wanted",
+                        lambda cfg, dtype: True)
+    got = sh.make_sharded_rollout(env, mesh, n_steps)(
+        env.mpm_params, carry0, actions)
+    np.testing.assert_allclose(np.asarray(got[0].x), np.asarray(ref[0].x),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got[2].q), np.asarray(ref[2].q),
+                               atol=1e-12)
