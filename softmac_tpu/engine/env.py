@@ -809,12 +809,29 @@ class SoftMacEnv:
                 RuntimeWarning, stacklevel=3)
             self._overflow_warned = True
 
+    @staticmethod
+    def _maybe_profile():
+        """Device-trace hook: set SOFTMAC_TPU_PROFILE_DIR to capture an XLA
+        profiler trace (viewable in TensorBoard/xprof) around the next
+        rollout calls. The reference's tracing is per-phase wall timers
+        (EpochTimer reproduces those); this adds the device-level view."""
+        import contextlib
+        import os as _os
+        d = _os.environ.get("SOFTMAC_TPU_PROFILE_DIR")
+        if d:
+            return jax.profiler.trace(d)
+        return contextlib.nullcontext()
+
     def rollout(self, actions, loss_start_frame=None, loss_stride=20,
                 bptt_window=None, grad_clip=None):
         actions = jnp.asarray(actions, self.dtype)
         fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride,
                                False, bptt_window, grad_clip)
-        loss, (terms, carry) = fn(actions, self._initial_carry())
+        ctx = self._maybe_profile()
+        with ctx:
+            loss, (terms, carry) = fn(actions, self._initial_carry())
+            if type(ctx).__name__ != "nullcontext":
+                jax.block_until_ready(loss)  # trace must span the device work
         self._check_overflow(terms)
         return {"loss": loss, "terms": terms, "carry": carry}
 
@@ -823,7 +840,11 @@ class SoftMacEnv:
         actions = jnp.asarray(actions, self.dtype)
         fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride,
                                True, bptt_window, grad_clip)
-        out = fn(actions, self._initial_carry())
+        ctx = self._maybe_profile()
+        with ctx:
+            out = fn(actions, self._initial_carry())
+            if type(ctx).__name__ != "nullcontext":
+                jax.block_until_ready(out["loss"])
         self._check_overflow(out["terms"])
         return out
 
