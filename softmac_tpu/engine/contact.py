@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from softmac_tpu.engine.sdf import sample_sdf_normal_world, sample_sdf_world
+from softmac_tpu.engine.sdf import sample_sdf_normal_world
 from softmac_tpu.engine.types import SDFParams
 from softmac_tpu.ops import m33
 

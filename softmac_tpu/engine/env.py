@@ -35,7 +35,7 @@ from softmac_tpu.engine.rigid import (
 from softmac_tpu.engine.sdf import preprocess_sdf, sdf_params_from_bake
 from softmac_tpu.engine.shapes import Shapes
 from softmac_tpu.engine.types import (
-    BodyState, MPMConfig, MPMParams, MPMState,
+    BodyState, MPMConfig, MPMParams,
     mpm_state_from_packed, mpm_state_zero,
 )
 
