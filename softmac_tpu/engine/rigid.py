@@ -42,21 +42,22 @@ class RigidState:
 @dataclasses.dataclass
 class _BodyDef:
     """One moving (or fixed) collision body = one contact primitive."""
-    jtype: str                  # floating | revolute | prismatic | fixed
+    jtype: str                  # floating | revolute | prismatic | fixed | chain
     q_offset: int               # dof offset into the global q vector (-1 if fixed)
     ndof: int
     mass: float
     inertia: np.ndarray         # (3,3) about the COM, inertial frame
     com: np.ndarray             # (3,) link-frame COM (URDF <inertial><origin>)
-    joint_pos: np.ndarray       # (3,) world joint origin (non-floating)
-    joint_rot: np.ndarray       # (3,3) world joint frame (non-floating)
-    axis: np.ndarray            # (3,) joint axis in joint frame
+    joint_pos: np.ndarray       # (3,) world joint origin (non-floating;
+    joint_rot: np.ndarray       # for chain members: relative to the parent
+    axis: np.ndarray            # moving link's joint frame)
     gravity_on: bool
     support_points: np.ndarray  # (K,3) body-frame points for floor penalty
     skeleton: int
     limit_lower: float = -np.inf
     limit_upper: float = np.inf
     limit_velocity: float = np.inf
+    chain_id: int = -1          # index into RigidModel._chains (jtype chain)
 
 
 @jax.custom_vjp
@@ -103,33 +104,87 @@ class RigidModel:
 
         self.bodies: List[_BodyDef] = []
         self.skeleton_ndof: List[int] = []
+        self._chains: List[dict] = []
         offset = 0
         per_prim_flags = list(ext_force_flags) if ext_force_flags else None
 
         for skel_id, model in enumerate(urdf_models):
             links = {l.name: l for l in model.links}
-            # accumulate world pose of fixed parents
-            world_pose = {}
-            roots = {j.parent for j in model.joints} - {j.child for j in model.joints}
-            for r in roots:
-                world_pose[r] = (np.zeros(3), np.eye(3))
+            by_child = {j.child: j for j in model.joints}
+
+            def _anchor(parent_name):
+                """Nearest MOVING ancestor link (None = world) + the fixed
+                transform from its joint frame (or world) to parent_name."""
+                segs = []
+                name = parent_name
+                while name in by_child and by_child[name].jtype == "fixed":
+                    segs.append(by_child[name])
+                    name = by_child[name].parent
+                ancestor = name if name in by_child else None
+                pos, rot = np.zeros(3), np.eye(3)
+                for jj in reversed(segs):
+                    pos = pos + rot @ jj.origin_xyz
+                    rot = rot @ np.asarray(rpy2mat(tuple(jj.origin_rpy)))
+                return ancestor, pos, rot
+
+            info = {}   # child link -> (joint, moving ancestor, jpos, jrot)
+            for j in model.joints:
+                anc, apos, arot = _anchor(j.parent)
+                jpos = apos + arot @ j.origin_xyz
+                jrot = arot @ np.asarray(rpy2mat(tuple(j.origin_rpy)))
+                info[j.child] = (j, anc, jpos, jrot)
+
+            # articulated-tree detection: moving joints whose parent link
+            # itself moves form fixed-base trees (engine/chain.py dynamics,
+            # BFS member order so parents precede children); world-anchored
+            # lone movers keep the closed-form fast paths
+            movers = [j for j in model.joints if j.jtype != "fixed"]
+            moving_children = {}
+            for j in movers:
+                anc = info[j.child][1]
+                if anc is not None:
+                    moving_children.setdefault(anc, []).append(j.child)
+            in_chain, chain_paths = set(), []
+            for j in movers:
+                if info[j.child][1] is None and j.child in moving_children:
+                    path, parents = [j.child], [-1]
+                    frontier = [(j.child, 0)]
+                    while frontier:
+                        cur, pi = frontier.pop(0)
+                        for kid in moving_children.get(cur, ()):
+                            path.append(kid)
+                            parents.append(pi)
+                            frontier.append((kid, len(path) - 1))
+                    chain_paths.append((path, parents))
+                    in_chain.update(path)
+            for j in movers:
+                if info[j.child][1] is not None and j.child not in in_chain:
+                    raise NotImplementedError(
+                        f"link {j.child} attaches to moving link "
+                        f"{info[j.child][1]} in an unsupported topology "
+                        "(floating parents cannot carry child joints)")
 
             ndof_skel = 0
+            slot_of, qoff_of = {}, {}
             for j in model.joints:
-                ppos, prot = world_pose.get(j.parent, (np.zeros(3), np.eye(3)))
-                jpos = ppos + prot @ j.origin_xyz
-                jrot = prot @ np.asarray(rpy2mat(tuple(j.origin_rpy)))
-                world_pose[j.child] = (jpos, jrot)
-
                 link = links[j.child]
                 if link.mesh_path is None:
+                    if j.child in in_chain:
+                        raise NotImplementedError(
+                            "meshless articulated-chain links not supported")
                     continue
+                jj, anc, jpos, jrot = info[j.child]
+                if j.jtype == "fixed" and anc is not None:
+                    raise NotImplementedError(
+                        "mesh link welded to a moving link not supported")
                 ndof = {"floating": 6, "revolute": 1, "prismatic": 1,
                         "continuous": 1, "fixed": 0}[j.jtype]
                 verts, _ = load_obj(link.mesh_path)
                 support = _support_points(verts)
+                jt = "chain" if j.child in in_chain else (
+                    "revolute" if j.jtype == "continuous" else j.jtype)
                 self.bodies.append(_BodyDef(
-                    jtype="revolute" if j.jtype == "continuous" else j.jtype,
+                    jtype=jt,
                     q_offset=offset + ndof_skel if ndof > 0 else -1,
                     ndof=ndof,
                     mass=link.mass,
@@ -145,13 +200,54 @@ class RigidModel:
                     limit_upper=getattr(j, "limit_upper", np.inf),
                     limit_velocity=getattr(j, "limit_velocity", np.inf),
                 ))
+                slot_of[j.child] = len(self.bodies) - 1
+                qoff_of[j.child] = offset + ndof_skel if ndof > 0 else -1
                 ndof_skel += ndof
             offset += ndof_skel
             self.skeleton_ndof.append(ndof_skel)
 
+            from softmac_tpu.engine.chain import ArticulatedTree, ChainJoint
+            for path, tree_parents in chain_paths:
+                members = []
+                for name in path:
+                    jj, anc, jpos, jrot = info[name]
+                    if jj.jtype not in ("revolute", "prismatic",
+                                        "continuous"):
+                        raise NotImplementedError(
+                            "articulated chains support 1-DoF joints only "
+                            f"(got {jj.jtype} at {name})")
+                    link = links[name]
+                    members.append(ChainJoint(
+                        jtype=("revolute" if jj.jtype == "continuous"
+                               else jj.jtype),
+                        origin_pos=jpos, origin_rot=jrot,
+                        axis=(np.asarray(jj.axis, np.float64)
+                              / np.linalg.norm(jj.axis)),
+                        mass=link.mass, inertia=link.inertia,
+                        com=np.asarray(link.inertial_origin, np.float64),
+                        damping=self.joint_damping,
+                        limit_lower=getattr(jj, "limit_lower", -np.inf),
+                        limit_upper=getattr(jj, "limit_upper", np.inf),
+                        limit_velocity=getattr(jj, "limit_velocity", np.inf),
+                    ))
+                cid = len(self._chains)
+                self._chains.append({
+                    "chain": ArticulatedTree(members, np.zeros(3), np.eye(3),
+                                             self.gravity, self.dt, dtype,
+                                             parents=tree_parents),
+                    "slots": [slot_of[n] for n in path],
+                    "qidx": np.asarray([qoff_of[n] for n in path]),
+                })
+                for s in self._chains[-1]["slots"]:
+                    self.bodies[s].chain_id = cid
+
         if per_prim_flags is not None:
             for b, flag in zip(self.bodies, per_prim_flags):
                 b.gravity_on = bool(flag)
+            for spec in self._chains:  # keep chain PE masks in sync
+                for m, s in enumerate(spec["slots"]):
+                    spec["chain"].joints[m].gravity_on = \
+                        self.bodies[s].gravity_on
 
         self.state_dim_half = offset
         self.state_dim = 2 * offset
@@ -222,11 +318,24 @@ class RigidModel:
                 w.append(jnp.zeros(3, self.dtype))
                 # body frame = joint frame: R^T (axis_w qd) = axis qd
                 v.append(jnp.asarray(b.axis, self.dtype) * state.qd[o])
+            elif b.jtype == "chain":
+                # placeholder; overwritten by the chain FK below
+                pos.append(jnp.zeros(3, self.dtype))
+                quat.append(jnp.asarray([1.0, 0, 0, 0], self.dtype))
+                w.append(jnp.zeros(3, self.dtype))
+                v.append(jnp.zeros(3, self.dtype))
             else:  # fixed
                 pos.append(jnp.asarray(b.joint_pos, self.dtype))
                 quat.append(Q.mat2quat(jnp.asarray(b.joint_rot, self.dtype)))
                 w.append(jnp.zeros(3, self.dtype))
                 v.append(jnp.zeros(3, self.dtype))
+        for spec in self._chains:
+            qi = jnp.asarray(spec["qidx"])
+            p_c, q_c, v_c, w_c = spec["chain"].body_states(
+                state.q[qi], state.qd[qi])
+            for m, s in enumerate(spec["slots"]):
+                pos[s], quat[s] = p_c[m], q_c[m]
+                v[s], w[s] = v_c[m], w_c[m]
         return BodyState(pos=jnp.stack(pos), quat=jnp.stack(quat),
                          v=jnp.stack(v), w=jnp.stack(w))
 
@@ -318,7 +427,23 @@ class RigidModel:
                 qd_new, q_new = self._apply_joint_limits(b, q[o], qd_new)
                 new_qd = new_qd.at[o].set(qd_new)
                 new_q = new_q.at[o].set(q_new)
-            # fixed: nothing
+            # fixed: nothing; chain members handled jointly below
+
+        for spec in self._chains:
+            qi = jnp.asarray(spec["qidx"])
+            tau = action[qi]
+            rows = []
+            for s in spec["slots"]:
+                b = self.bodies[s]
+                fe = jnp.where(b.gravity_on, ext_f[s, :3],
+                               jnp.zeros(3, self.dtype))
+                te = jnp.where(b.gravity_on, ext_f[s, 3:],
+                               jnp.zeros(3, self.dtype))
+                rows.append(jnp.concatenate([fe, te]))
+            q_n, qd_n = spec["chain"].step(q[qi], qd[qi], tau,
+                                           jnp.stack(rows))
+            new_q = new_q.at[qi].set(q_n)
+            new_qd = new_qd.at[qi].set(qd_n)
 
         return RigidState(q=new_q, qd=new_qd)
 

@@ -1,0 +1,378 @@
+"""Articulated serial-chain dynamics (engine/chain.py) vs independent
+textbook oracles.
+
+The chain's equations of motion are DERIVED by AD from traced energies, so
+the oracle here is the classic hand-derived double-pendulum M/C/G system —
+a fully independent formulation. Accelerations must agree to f64 roundoff
+at arbitrary states (both sides are exact algebra at a state; no integrator
+mismatch enters)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from softmac_tpu.engine.chain import ChainJoint, SerialChain
+
+G = 9.8
+M1, M2 = 0.7, 1.3
+L1, L2 = 0.5, 0.8
+
+
+def _double_pendulum():
+    """Two point masses on massless rods, hanging along -y at q=0, rotation
+    about +z; q measures the angle from the downward vertical."""
+    z = np.array([0.0, 0.0, 1.0])
+    j1 = ChainJoint(jtype="revolute", origin_pos=np.zeros(3),
+                    origin_rot=np.eye(3), axis=z, mass=M1,
+                    inertia=np.zeros((3, 3)), com=np.array([0.0, -L1, 0.0]))
+    j2 = ChainJoint(jtype="revolute", origin_pos=np.array([0.0, -L1, 0.0]),
+                    origin_rot=np.eye(3), axis=z, mass=M2,
+                    inertia=np.zeros((3, 3)), com=np.array([0.0, -L2, 0.0]))
+    return SerialChain([j1, j2], base_pos=np.zeros(3), base_rot=np.eye(3),
+                       gravity=(0.0, -G, 0.0), dt=1e-4, dtype=jnp.float64)
+
+
+def _oracle_qdd(q, qd):
+    """Hand-derived double-pendulum M qdd = -C - G (theta from vertical)."""
+    t1, t2 = q
+    d1, d2 = qd
+    c = np.cos(t1 - t2)
+    s = np.sin(t1 - t2)
+    M = np.array([[(M1 + M2) * L1 ** 2, M2 * L1 * L2 * c],
+                  [M2 * L1 * L2 * c, M2 * L2 ** 2]])
+    C = np.array([M2 * L1 * L2 * d2 ** 2 * s,
+                  -M2 * L1 * L2 * d1 ** 2 * s])
+    Gv = np.array([(M1 + M2) * G * L1 * np.sin(t1),
+                   M2 * G * L2 * np.sin(t2)])
+    return np.linalg.solve(M, -C - Gv)
+
+
+def _chain_qdd(chain, q, qd, tau=None, wr=None):
+    q = jnp.asarray(q, jnp.float64)
+    qd = jnp.asarray(qd, jnp.float64)
+    tau = jnp.zeros(2, jnp.float64) if tau is None else jnp.asarray(tau)
+    wr = jnp.zeros((2, 6), jnp.float64) if wr is None else jnp.asarray(wr)
+    q2, qd2 = chain.step(q, qd, tau, wr)
+    return np.asarray((qd2 - qd) / chain.dt)
+
+
+def test_double_pendulum_acceleration_matches_textbook():
+    """Chain q are RELATIVE joint angles; the textbook oracle uses ABSOLUTE
+    angles from the vertical: theta = (q1, q1 + q2)."""
+    chain = _double_pendulum()
+    rng = np.random.RandomState(0)
+    for _ in range(6):
+        q = rng.uniform(-2.5, 2.5, 2)
+        qd = rng.uniform(-4.0, 4.0, 2)
+        th = np.array([q[0], q[0] + q[1]])
+        thd = np.array([qd[0], qd[0] + qd[1]])
+        a = _oracle_qdd(th, thd)                  # absolute accelerations
+        b = _chain_qdd(chain, q, qd)              # relative accelerations
+        np.testing.assert_allclose([b[0], b[0] + b[1]], a,
+                                   rtol=1e-7, atol=1e-8)
+
+
+def test_energy_behavior_symplectic():
+    """Undamped semi-implicit Euler: total energy stays bounded (no secular
+    blow-up) over 5000 steps of a chaotic double-pendulum swing."""
+    chain = _double_pendulum()
+    q = jnp.asarray([2.0, 1.0], jnp.float64)
+    qd = jnp.asarray([0.0, 0.0], jnp.float64)
+    tau = jnp.zeros(2, jnp.float64)
+    wr = jnp.zeros((2, 6), jnp.float64)
+
+    def body(c, _):
+        q, qd = c
+        q, qd = chain.step(q, qd, tau, wr)
+        return (q, qd), None
+
+    e0 = float(chain.kinetic(q, qd) + chain.potential(q))
+    (q, qd), _ = jax.lax.scan(jax.jit(body), (q, qd), None, length=5000)
+    e1 = float(chain.kinetic(q, qd) + chain.potential(q))
+    scale = (M1 + M2) * G * (L1 + L2)
+    assert abs(e1 - e0) / scale < 5e-3, (e0, e1)
+
+
+def test_generalized_ext_is_jacobian_transpose():
+    """A world force f at link 2's joint origin must map to
+    tau_i = (r_i x f) . z for both revolute joints (moment arms from each
+    joint axis) — the classic J^T w, produced here by AD of the power."""
+    chain = _double_pendulum()
+    q = jnp.asarray([0.4, -0.3], jnp.float64)
+    qd = jnp.zeros(2, jnp.float64)
+    f = np.array([1.7, 0.6, 0.0])
+    wr = np.zeros((2, 6))
+    wr[1, :3] = f
+    tau = np.asarray(chain.generalized_ext(q, qd, jnp.asarray(wr)))
+
+    p, R = chain.fk(q)
+    p = np.asarray(p)
+    z = np.array([0.0, 0.0, 1.0])
+    # joint 2's origin relative to each joint's axis point
+    tau1 = np.cross(p[1] - p[0], f) @ z
+    tau2 = 0.0  # the force acts AT joint 2's origin: no arm about joint 2
+    np.testing.assert_allclose(tau, [tau1, tau2], atol=1e-12)
+
+    # a torque about link 2's origin drives both joints equally (both axes z)
+    wr = np.zeros((2, 6))
+    wr[1, 3:] = [0.0, 0.0, 2.5]
+    tau = np.asarray(chain.generalized_ext(q, qd, jnp.asarray(wr)))
+    np.testing.assert_allclose(tau, [2.5, 2.5], atol=1e-12)
+
+
+def test_prismatic_on_revolute():
+    """Revolute base + prismatic slider along the (rotating) arm: at q=0,
+    gravity along -y, arm along -y: the slider free-falls along the arm
+    (qdd_slider = g) and the revolute sees no torque."""
+    z = np.array([0.0, 0.0, 1.0])
+    j1 = ChainJoint(jtype="revolute", origin_pos=np.zeros(3),
+                    origin_rot=np.eye(3), axis=z, mass=0.5,
+                    inertia=np.eye(3) * 1e-2, com=np.array([0.0, -0.3, 0.0]))
+    j2 = ChainJoint(jtype="prismatic", origin_pos=np.array([0.0, -0.6, 0.0]),
+                    origin_rot=np.eye(3), axis=np.array([0.0, -1.0, 0.0]),
+                    mass=0.2, inertia=np.zeros((3, 3)), com=np.zeros(3))
+    chain = SerialChain([j1, j2], base_pos=np.zeros(3), base_rot=np.eye(3),
+                        gravity=(0.0, -G, 0.0), dt=1e-4, dtype=jnp.float64)
+    qdd = _chain_qdd(chain, np.zeros(2), np.zeros(2))
+    np.testing.assert_allclose(qdd, [0.0, G], atol=1e-9)
+
+    # centrifugal: spinning base throws the slider outward (+axis = -y),
+    # qdd_slider = g + omega^2 * r at q2 = r... at q2 = 0, r = 0.6
+    qdd = _chain_qdd(chain, np.zeros(2), np.array([3.0, 0.0]))
+    np.testing.assert_allclose(qdd[1], G + 9.0 * 0.6, rtol=1e-9)
+
+
+def test_branching_tree_matches_hand_derived_eom():
+    """Y-tree: two independent pendulums hanging from the tip of a shared
+    parent link. Oracle: hand-derived M/C/G in ABSOLUTE angles (each branch
+    couples to the root exactly like a double pendulum; the branches only
+    couple through the root row)."""
+    from softmac_tpu.engine.chain import ArticulatedTree
+    m3, L3 = 0.4, 0.35
+    z = np.array([0.0, 0.0, 1.0])
+    j1 = ChainJoint(jtype="revolute", origin_pos=np.zeros(3),
+                    origin_rot=np.eye(3), axis=z, mass=M1,
+                    inertia=np.zeros((3, 3)), com=np.array([0.0, -L1, 0.0]))
+    j2 = ChainJoint(jtype="revolute", origin_pos=np.array([0.0, -L1, 0.0]),
+                    origin_rot=np.eye(3), axis=z, mass=M2,
+                    inertia=np.zeros((3, 3)), com=np.array([0.0, -L2, 0.0]))
+    j3 = ChainJoint(jtype="revolute", origin_pos=np.array([0.0, -L1, 0.0]),
+                    origin_rot=np.eye(3), axis=z, mass=m3,
+                    inertia=np.zeros((3, 3)), com=np.array([0.0, -L3, 0.0]))
+    tree = ArticulatedTree([j1, j2, j3], base_pos=np.zeros(3),
+                           base_rot=np.eye(3), gravity=(0.0, -G, 0.0),
+                           dt=1e-4, dtype=jnp.float64, parents=[-1, 0, 0])
+
+    def oracle(th, thd):
+        t1, t2, t3 = th
+        d1, d2, d3 = thd
+        c12, s12 = np.cos(t1 - t2), np.sin(t1 - t2)
+        c13, s13 = np.cos(t1 - t3), np.sin(t1 - t3)
+        M = np.array([
+            [(M1 + M2 + m3) * L1 ** 2, M2 * L1 * L2 * c12,
+             m3 * L1 * L3 * c13],
+            [M2 * L1 * L2 * c12, M2 * L2 ** 2, 0.0],
+            [m3 * L1 * L3 * c13, 0.0, m3 * L3 ** 2]])
+        C = np.array([M2 * L1 * L2 * d2 ** 2 * s12
+                      + m3 * L1 * L3 * d3 ** 2 * s13,
+                      -M2 * L1 * L2 * d1 ** 2 * s12,
+                      -m3 * L1 * L3 * d1 ** 2 * s13])
+        Gv = np.array([(M1 + M2 + m3) * G * L1 * np.sin(t1),
+                       M2 * G * L2 * np.sin(t2),
+                       m3 * G * L3 * np.sin(t3)])
+        return np.linalg.solve(M, -C - Gv)
+
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        q = rng.uniform(-2.0, 2.0, 3)
+        qd = rng.uniform(-3.0, 3.0, 3)
+        qj = jnp.asarray(q)
+        qdj = jnp.asarray(qd)
+        q2, qd2 = tree.step(qj, qdj, jnp.zeros(3, jnp.float64),
+                            jnp.zeros((3, 6), jnp.float64))
+        b = np.asarray((qd2 - qdj) / tree.dt)      # relative qdd
+        th = np.array([q[0], q[0] + q[1], q[0] + q[2]])
+        thd = np.array([qd[0], qd[0] + qd[1], qd[0] + qd[2]])
+        a = oracle(th, thd)
+        np.testing.assert_allclose([b[0], b[0] + b[1], b[0] + b[2]], a,
+                                   rtol=1e-7, atol=1e-7)
+
+
+def _pendulum_urdf(tmp_path, branch=False):
+    """Two-link serial pendulum URDF (moving link carrying a moving child —
+    the topology engine/rigid.py's closed-form paths cannot handle); with
+    ``branch`` a third link also hangs from arm1's tip (Y-tree)."""
+    branch_xml = "" if not branch else f"""
+  <joint name="j3" type="revolute">
+    <parent link="arm1"/> <child link="arm3"/>
+    <origin xyz="0 {-L1} 0" rpy="0 0 0"/> <axis xyz="0 0 1"/>
+  </joint>
+  <link name="arm3">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 -0.35 0"/>
+      <mass value="0.4"/>
+      <inertia ixx="0" ixy="0" ixz="0" iyy="0" iyz="0" izz="0"/>
+    </inertial>
+    <collision><geometry><mesh filename="tip.obj"/></geometry></collision>
+  </link>"""
+    obj = tmp_path / "tip.obj"
+    lo, hi = -0.01, 0.01
+    verts = [(x, y, z) for x in (lo, hi) for y in (lo, hi) for z in (lo, hi)]
+    lines = [f"v {x} {y} {z}" for x, y, z in verts]
+    lines += ["f 1 2 4 3", "f 5 7 8 6", "f 1 5 6 2",
+              "f 3 4 8 7", "f 1 3 7 5", "f 2 6 8 4"]
+    obj.write_text("\n".join(lines) + "\n")
+    urdf = tmp_path / "pend2.urdf"
+    urdf.write_text(f"""<?xml version="1.0"?>
+<robot name="pend2">
+  <link name="world"/>
+  <joint name="j1" type="revolute">
+    <parent link="world"/> <child link="arm1"/>
+    <origin xyz="0 0 0" rpy="0 0 0"/> <axis xyz="0 0 1"/>
+  </joint>
+  <link name="arm1">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 {-L1} 0"/>
+      <mass value="{M1}"/>
+      <inertia ixx="0" ixy="0" ixz="0" iyy="0" iyz="0" izz="0"/>
+    </inertial>
+    <collision><geometry><mesh filename="tip.obj"/></geometry></collision>
+  </link>
+  <joint name="j2" type="revolute">
+    <parent link="arm1"/> <child link="arm2"/>
+    <origin xyz="0 {-L1} 0" rpy="0 0 0"/> <axis xyz="0 0 1"/>
+  </joint>
+  <link name="arm2">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 {-L2} 0"/>
+      <mass value="{M2}"/>
+      <inertia ixx="0" ixy="0" ixz="0" iyy="0" iyz="0" izz="0"/>
+    </inertial>
+    <collision><geometry><mesh filename="tip.obj"/></geometry></collision>
+  </link>
+  {branch_xml}
+</robot>
+""")
+    return urdf
+
+
+def test_urdf_chain_end_to_end(tmp_path):
+    """URDF parse -> chain detection -> RigidModel.step must reproduce the
+    textbook double-pendulum accelerations (same geometry and angle
+    convention as _double_pendulum: hanging along -y at q=0, axis +z)."""
+    from softmac_tpu.config.node import CN
+    from softmac_tpu.engine.meshio import load_urdf
+    from softmac_tpu.engine.rigid import RigidModel, RigidState
+
+    cfg = CN()
+    cfg.gravity = (0.0, -G, 0.0)
+    cfg.init_state = (0.0, 0.0, 0.0, 0.0)
+    cfg.enable_floor = False
+    cfg.floor_height = -0.08
+    cfg.floor_stiffness = 1e4
+    cfg.floor_damping = 10.0
+    cfg.ext_grad_scale = 1.0
+
+    dt = 1e-4
+    m = RigidModel([load_urdf(_pendulum_urdf(tmp_path))], cfg, env_dt=dt,
+                   dtype=jnp.float64)
+    assert len(m._chains) == 1
+    assert [b.jtype for b in m.bodies] == ["chain", "chain"]
+
+    rng = np.random.RandomState(1)
+    for _ in range(4):
+        q = rng.uniform(-2.0, 2.0, 2)
+        qd = rng.uniform(-3.0, 3.0, 2)
+        s = RigidState(q=jnp.asarray(q), qd=jnp.asarray(qd))
+        s2 = m.step(s, None, jnp.zeros((2, 6), jnp.float64))
+        b = np.asarray((s2.qd - s.qd) / dt)          # relative qdd
+        th = np.array([q[0], q[0] + q[1]])           # absolute angles
+        thd = np.array([qd[0], qd[0] + qd[1]])
+        a = _oracle_qdd(th, thd)
+        np.testing.assert_allclose([b[0], b[0] + b[1]], a,
+                                   rtol=1e-7, atol=1e-7)
+
+    # FK through body_states: link-2 joint origin hangs at the end of arm 1
+    q = jnp.asarray([0.4, -0.9], jnp.float64)
+    bs = m.body_states(RigidState(q=q, qd=jnp.zeros(2, jnp.float64)))
+    c1 = np.array([np.sin(0.4) * L1, -np.cos(0.4) * L1, 0.0])
+    np.testing.assert_allclose(np.asarray(bs.pos[0]), np.zeros(3), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(bs.pos[1]), c1, atol=1e-12)
+
+    # action routing: equal-and-opposite check — a torque on joint 2 at rest
+    # accelerates joint 2 and back-drives joint 1 per the coupled M(q)
+    s = RigidState(q=jnp.zeros(2, jnp.float64), qd=jnp.zeros(2, jnp.float64))
+    s2 = m.step(s, jnp.asarray([0.0, 1e-3], jnp.float64),
+                jnp.zeros((2, 6), jnp.float64))
+    Mq = np.array([[(M1 + M2) * L1 ** 2 + M2 * L2 * (L2 + 2 * L1)
+                    , M2 * L2 * (L2 + L1)],
+                   [M2 * L2 * (L2 + L1), M2 * L2 ** 2]])
+    qdd = np.linalg.solve(Mq, [0.0, 1e-3])
+    np.testing.assert_allclose(np.asarray(s2.qd) / dt, qdd, rtol=1e-6)
+
+
+def test_urdf_branching_tree_detection(tmp_path):
+    """A Y-shaped URDF (two links hanging from arm1's tip) is detected as
+    ONE tree with BFS parents [-1, 0, 0]; hanging equilibrium is stationary."""
+    from softmac_tpu.config.node import CN
+    from softmac_tpu.engine.meshio import load_urdf
+    from softmac_tpu.engine.rigid import RigidModel, RigidState
+
+    cfg = CN()
+    cfg.gravity = (0.0, -G, 0.0)
+    cfg.init_state = (0.0,) * 6
+    cfg.enable_floor = False
+    cfg.floor_height = -0.08
+    cfg.floor_stiffness = 1e4
+    cfg.floor_damping = 10.0
+    cfg.ext_grad_scale = 1.0
+
+    m = RigidModel([load_urdf(_pendulum_urdf(tmp_path, branch=True))], cfg,
+                   env_dt=1e-4, dtype=jnp.float64)
+    assert len(m._chains) == 1
+    assert m._chains[0]["chain"].parents == [-1, 0, 0]
+    assert [b.jtype for b in m.bodies] == ["chain"] * 3
+
+    s = RigidState(q=jnp.zeros(3, jnp.float64), qd=jnp.zeros(3, jnp.float64))
+    s2 = m.step(s, None, jnp.zeros((3, 6), jnp.float64))
+    np.testing.assert_allclose(np.asarray(s2.qd), 0.0, atol=1e-12)
+
+    # a torque on branch arm3 back-drives the root but NOT branch arm2
+    # (M has no 2-3 coupling; C, G vanish at rest)
+    s2 = m.step(s, jnp.asarray([0.0, 0.0, 1e-3], jnp.float64),
+                jnp.zeros((3, 6), jnp.float64))
+    qdd = np.asarray(s2.qd) / 1e-4
+    th_dd = np.array([qdd[0], qdd[0] + qdd[1], qdd[0] + qdd[2]])
+    m3, L3 = 0.4, 0.35
+    Mq = np.array([[(M1 + M2 + m3) * L1 ** 2, M2 * L1 * L2, m3 * L1 * L3],
+                   [M2 * L1 * L2, M2 * L2 ** 2, 0.0],
+                   [m3 * L1 * L3, 0.0, m3 * L3 ** 2]])
+    # generalized force in ABSOLUTE coords for a pure joint-3 torque:
+    # tau_abs = J^{-T} tau_rel with th = [q1, q1+q2, q1+q3]
+    J = np.array([[1.0, 0, 0], [1, 1, 0], [1, 0, 1]])
+    tau_abs = np.linalg.solve(J.T, [0.0, 0.0, 1e-3])
+    np.testing.assert_allclose(th_dd, np.linalg.solve(Mq, tau_abs),
+                               rtol=1e-6)
+
+
+def test_body_states_convention():
+    """body_states must return BODY-frame COM spatial velocity (the contact
+    collider rotates body->world): check against the world COM velocity from
+    jvp of the COM position."""
+    chain = _double_pendulum()
+    q = jnp.asarray([0.7, -1.1], jnp.float64)
+    qd = jnp.asarray([1.3, 0.4], jnp.float64)
+    pos, quat, vb, wb = chain.body_states(q, qd)
+
+    def com_w(q_):
+        p, R = chain.fk(q_)
+        return jnp.stack([p[i] + R[i] @ jnp.asarray(chain.joints[i].com,
+                                                    q_.dtype)
+                          for i in range(2)])
+
+    _, v_com_w = jax.jvp(com_w, (q,), (qd,))
+    from softmac_tpu.engine import quat as Q
+    for i in range(2):
+        got = Q.qrot(quat[i], vb[i])   # body -> world (collider convention)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(v_com_w[i]),
+                                   atol=1e-12)
