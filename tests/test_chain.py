@@ -355,6 +355,30 @@ def test_urdf_branching_tree_detection(tmp_path):
                                rtol=1e-6)
 
 
+def test_gradients_through_step_match_finite_differences():
+    """The rollout differentiates chain.step (M from jax.hessian inside the
+    step means grad-of-step is third-order AD): check d loss / d tau over a
+    short horizon against central finite differences."""
+    chain = _double_pendulum()
+
+    def loss(tau):
+        q = jnp.asarray([0.3, -0.2], jnp.float64)
+        qd = jnp.asarray([0.5, 0.1], jnp.float64)
+        wr = jnp.zeros((2, 6), jnp.float64)
+        for _ in range(5):
+            q, qd = chain.step(q, qd, tau, wr)
+        return jnp.sum(q ** 2) + 0.1 * jnp.sum(qd ** 2)
+
+    tau0 = jnp.asarray([0.2, -0.4], jnp.float64)
+    g = np.asarray(jax.jit(jax.grad(loss))(tau0))
+    eps = 1e-6
+    for i in range(2):
+        e = np.zeros(2)
+        e[i] = eps
+        fd = (float(loss(tau0 + e)) - float(loss(tau0 - e))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=1e-5)
+
+
 def test_body_states_convention():
     """body_states must return BODY-frame COM spatial velocity (the contact
     collider rotates body->world): check against the world COM velocity from
