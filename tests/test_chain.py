@@ -379,6 +379,120 @@ def test_gradients_through_step_match_finite_differences():
         np.testing.assert_allclose(g[i], fd, rtol=1e-5)
 
 
+def _arm_obj(tmp_path, L=0.16, half=0.02):
+    """Arm collision mesh: box spanning y in [-L, 0] (link frame)."""
+    obj = tmp_path / "arm.obj"
+    xs, zs = (-half, half), (-half, half)
+    verts = [(x, y, z) for x in xs for y in (-L, 0.0) for z in zs]
+    lines = [f"v {x} {y} {z}" for x, y, z in verts]
+    lines += ["f 1 2 4 3", "f 5 7 8 6", "f 1 5 6 2",
+              "f 3 4 8 7", "f 1 3 7 5", "f 2 6 8 4"]
+    obj.write_text("\n".join(lines) + "\n")
+    return obj
+
+
+def test_env_chain_contact_coupling(tmp_path):
+    """Full-stack two-way coupling with an articulated double pendulum as
+    the scene's rigid primitive: URDF -> SDF bake -> jitted env steps. The
+    swinging arm must push the particle blob (forward coupling) and the
+    reaction wrench must slow the swing vs the free pendulum (reverse
+    coupling through RigidModel.step -> ArticulatedTree.step)."""
+    from softmac_tpu import SoftMacEnv, get_cfg_defaults
+    from softmac_tpu.config.node import CN
+
+    _arm_obj(tmp_path)
+    L, m_arm = 0.16, 0.2
+    izz = m_arm * L * L / 12
+    urdf = tmp_path / "pend_env.urdf"
+    urdf.write_text(f"""<?xml version="1.0"?>
+<robot name="pend_env">
+  <link name="world"/>
+  <joint name="j1" type="revolute">
+    <parent link="world"/> <child link="arm1"/>
+    <origin xyz="0.5 0.7 0.5" rpy="0 0 0"/> <axis xyz="0 0 1"/>
+  </joint>
+  <link name="arm1">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 {-L / 2} 0"/>
+      <mass value="{m_arm}"/>
+      <inertia ixx="{izz}" ixy="0" ixz="0" iyy="1e-5" iyz="0" izz="{izz}"/>
+    </inertial>
+    <collision><geometry><mesh filename="arm.obj"/></geometry></collision>
+  </link>
+  <joint name="j2" type="revolute">
+    <parent link="arm1"/> <child link="arm2"/>
+    <origin xyz="0 {-L} 0" rpy="0 0 0"/> <axis xyz="0 0 1"/>
+  </joint>
+  <link name="arm2">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 {-L / 2} 0"/>
+      <mass value="{m_arm}"/>
+      <inertia ixx="{izz}" ixy="0" ixz="0" iyy="1e-5" iyz="0" izz="{izz}"/>
+    </inertial>
+    <collision><geometry><mesh filename="arm.obj"/></geometry></collision>
+  </link>
+</robot>
+""")
+
+    cfg = get_cfg_defaults()
+    cfg.control_mode = "rigid"
+    cfg.env_dt = 1e-3
+    cfg.SIMULATOR.dt = 1e-3
+    cfg.SIMULATOR.E = 50.0
+    cfg.SIMULATOR.ptype = 1            # elastic
+    cfg.SIMULATOR.material_model = 0   # corotated
+    cfg.SIMULATOR.ground_friction = 0.0
+    cfg.SIMULATOR.collision_type = 2   # mixed / forecast
+    cfg.SHAPES = [{
+        "shape": "box", "width": (0.06, 0.08, 0.06),
+        "init_pos": [0.60, 0.47, 0.5], "n_particles": 1200,
+        "color": 0, "init_rot": None,
+    }]
+    prim = CN()
+    prim.friction = 0.1
+    prim.urdf_path = str(urdf)
+    prim.enable_external_force = True
+    cfg.PRIMITIVES = [prim]
+    cfg.RIGID.gravity = (0.0, -9.8, 0.0)
+    cfg.RIGID.enable_floor = False
+    cfg.RIGID.init_state = (1.2, 0.0, 0.0, 0.0)
+    cfg.TPU.active_window = (24, 24, 16)
+
+    env = SoftMacEnv(cfg, loss=False)
+    assert env.n_primitives == 2
+    assert len(env.rigid_model._chains) == 1
+    assert [b.jtype for b in env.rigid_model.bodies] == ["chain", "chain"]
+
+    x0 = np.asarray(env.init_particles)
+    env.reset()
+    max_wrench = 0.0
+    for _ in range(250):
+        env.step(None)
+        max_wrench = max(max_wrench,
+                         float(jnp.max(jnp.abs(env.last_ext_f))))
+    mpm, bodies, rigid = env._carry
+
+    # everything finite after 250 coupled steps
+    assert np.isfinite(np.asarray(rigid.q)).all()
+    for c in range(3):
+        assert np.isfinite(np.asarray(mpm.x[c])).all()
+
+    # forward coupling: the arm plowed through the blob
+    x_fin = np.stack([np.asarray(mpm.x[c]) for c in range(3)], -1)
+    assert max_wrench > 1e-4
+    assert float(np.max(np.linalg.norm(x_fin - x0, axis=-1))) > 0.01
+
+    # reverse coupling: the swing lost speed vs the free pendulum
+    free = env.rigid_model.init_state()
+    zero_ext = jnp.zeros((2, 6), env.dtype)
+    step_free = jax.jit(lambda s: env.rigid_model.step(s, None, zero_ext))
+    for _ in range(250):
+        free = step_free(free)
+    assert np.isfinite(np.asarray(free.q)).all()
+    assert abs(float(rigid.qd[0])) < abs(float(free.qd[0])) - 1e-3 or \
+        abs(float(rigid.q[0] - free.q[0])) > 1e-3
+
+
 def test_body_states_convention():
     """body_states must return BODY-frame COM spatial velocity (the contact
     collider rotates body->world): check against the world COM velocity from
