@@ -42,7 +42,8 @@ class RigidState:
 @dataclasses.dataclass
 class _BodyDef:
     """One moving (or fixed) collision body = one contact primitive."""
-    jtype: str                  # floating | revolute | prismatic | fixed | chain
+    jtype: str                  # floating | revolute | prismatic | fixed
+                                # | chain | weld (fixed to a MOVING link)
     q_offset: int               # dof offset into the global q vector (-1 if fixed)
     ndof: int
     mass: float
@@ -58,6 +59,7 @@ class _BodyDef:
     limit_upper: float = np.inf
     limit_velocity: float = np.inf
     chain_id: int = -1          # index into RigidModel._chains (jtype chain)
+    weld_parent: int = -1       # body slot the weld rides (jtype weld)
 
 
 @jax.custom_vjp
@@ -166,6 +168,7 @@ class RigidModel:
 
             ndof_skel = 0
             slot_of, qoff_of = {}, {}
+            welds = []   # (slot, moving-ancestor link name)
             for j in model.joints:
                 link = links[j.child]
                 if link.mesh_path is None:
@@ -174,15 +177,20 @@ class RigidModel:
                             "meshless articulated-chain links not supported")
                     continue
                 jj, anc, jpos, jrot = info[j.child]
-                if j.jtype == "fixed" and anc is not None:
-                    raise NotImplementedError(
-                        "mesh link welded to a moving link not supported")
                 ndof = {"floating": 6, "revolute": 1, "prismatic": 1,
                         "continuous": 1, "fixed": 0}[j.jtype]
                 verts, _ = load_obj(link.mesh_path)
                 support = _support_points(verts)
-                jt = "chain" if j.child in in_chain else (
-                    "revolute" if j.jtype == "continuous" else j.jtype)
+                if j.jtype == "fixed" and anc is not None:
+                    # mesh link welded onto a moving link: a kinematic
+                    # primitive riding the ancestor (jpos/jrot are its fixed
+                    # offset in the ancestor's body frame); its inertia is
+                    # folded into the ancestor below (composite rigid body)
+                    jt = "weld"
+                elif j.child in in_chain:
+                    jt = "chain"
+                else:
+                    jt = "revolute" if j.jtype == "continuous" else j.jtype
                 self.bodies.append(_BodyDef(
                     jtype=jt,
                     q_offset=offset + ndof_skel if ndof > 0 else -1,
@@ -202,9 +210,39 @@ class RigidModel:
                 ))
                 slot_of[j.child] = len(self.bodies) - 1
                 qoff_of[j.child] = offset + ndof_skel if ndof > 0 else -1
+                if jt == "weld":
+                    welds.append((len(self.bodies) - 1, anc))
                 ndof_skel += ndof
             offset += ndof_skel
             self.skeleton_ndof.append(ndof_skel)
+
+            # composite rigid bodies: fold each weld's inertial properties
+            # into its moving ancestor (mass-weighted com, parallel-axis
+            # inertia); the ancestor's dynamics then carry the welded mass,
+            # while the weld primitive itself is purely kinematic
+            composite = {}   # ancestor name -> (mass, inertia, com)
+            for s, anc in welds:
+                if anc not in slot_of:
+                    raise NotImplementedError(
+                        f"weld ancestor {anc} has no collision mesh")
+                p = slot_of[anc]
+                self.bodies[s].weld_parent = p
+                pb = self.bodies[p]
+                d = self.bodies[s].joint_pos
+                Rd = self.bodies[s].joint_rot
+                m_w = self.bodies[s].mass
+                c_w = d + Rd @ self.bodies[s].com
+                I_w = Rd @ self.bodies[s].inertia @ Rd.T
+                m_t = pb.mass + m_w
+                c_t = (pb.mass * pb.com + m_w * c_w) / m_t
+
+                def _shift(r):
+                    return (r @ r) * np.eye(3) - np.outer(r, r)
+
+                I_t = (pb.inertia + pb.mass * _shift(pb.com - c_t)
+                       + I_w + m_w * _shift(c_w - c_t))
+                pb.mass, pb.inertia, pb.com = m_t, I_t, c_t
+                composite[anc] = (m_t, I_t, c_t)
 
             from softmac_tpu.engine.chain import ArticulatedTree, ChainJoint
             for path, tree_parents in chain_paths:
@@ -216,15 +254,15 @@ class RigidModel:
                         raise NotImplementedError(
                             "articulated chains support 1-DoF joints only "
                             f"(got {jj.jtype} at {name})")
-                    link = links[name]
+                    bb = self.bodies[slot_of[name]]   # composite if welded-on
                     members.append(ChainJoint(
                         jtype=("revolute" if jj.jtype == "continuous"
                                else jj.jtype),
                         origin_pos=jpos, origin_rot=jrot,
                         axis=(np.asarray(jj.axis, np.float64)
                               / np.linalg.norm(jj.axis)),
-                        mass=link.mass, inertia=link.inertia,
-                        com=np.asarray(link.inertial_origin, np.float64),
+                        mass=bb.mass, inertia=bb.inertia,
+                        com=np.asarray(bb.com, np.float64),
                         damping=self.joint_damping,
                         limit_lower=getattr(jj, "limit_lower", -np.inf),
                         limit_upper=getattr(jj, "limit_upper", np.inf),
@@ -318,8 +356,9 @@ class RigidModel:
                 w.append(jnp.zeros(3, self.dtype))
                 # body frame = joint frame: R^T (axis_w qd) = axis qd
                 v.append(jnp.asarray(b.axis, self.dtype) * state.qd[o])
-            elif b.jtype == "chain":
-                # placeholder; overwritten by the chain FK below
+            elif b.jtype in ("chain", "weld"):
+                # placeholder; overwritten by the chain FK / weld
+                # composition below
                 pos.append(jnp.zeros(3, self.dtype))
                 quat.append(jnp.asarray([1.0, 0, 0, 0], self.dtype))
                 w.append(jnp.zeros(3, self.dtype))
@@ -336,6 +375,24 @@ class RigidModel:
             for m, s in enumerate(spec["slots"]):
                 pos[s], quat[s] = p_c[m], q_c[m]
                 v[s], w[s] = v_c[m], w_c[m]
+        for s, b in enumerate(self.bodies):
+            if b.jtype != "weld":
+                continue
+            # compose the fixed offset onto the (already resolved) parent;
+            # reconstruct the parent's body-frame ORIGIN velocity from its
+            # stored COM spatial velocity, transport to the weld origin,
+            # then re-express as the weld's COM spatial velocity
+            p = b.weld_parent
+            d = jnp.asarray(b.joint_pos, self.dtype)
+            Rd = jnp.asarray(b.joint_rot, self.dtype)
+            com_p = jnp.asarray(self.bodies[p].com, self.dtype)
+            v_orig_p = v[p] - jnp.cross(w[p], com_p)
+            w_b = Rd.T @ w[p]
+            v_orig = Rd.T @ (v_orig_p + jnp.cross(w[p], d))
+            pos[s] = pos[p] + Q.qrot(quat[p], d)
+            quat[s] = Q.qmul(quat[p], Q.mat2quat(Rd))
+            w[s] = w_b
+            v[s] = v_orig + jnp.cross(w_b, jnp.asarray(b.com, self.dtype))
         return BodyState(pos=jnp.stack(pos), quat=jnp.stack(quat),
                          v=jnp.stack(v), w=jnp.stack(w))
 
@@ -352,6 +409,23 @@ class RigidModel:
         new_q, new_qd = q, qd
         g = jnp.asarray(self.gravity, self.dtype)
         dt = self.dt
+
+        weld_slots = [s for s, b in enumerate(self.bodies)
+                      if b.jtype == "weld"]
+        if weld_slots:
+            # contact wrenches on welded primitives act on the composite
+            # body: shift each to the parent's origin ([f, t + r x f]) and
+            # zero the weld row (welds have no dynamics of their own)
+            bs = self.body_states(state)
+            for s in weld_slots:
+                p = self.bodies[s].weld_parent
+                on = self.bodies[s].gravity_on
+                f = jnp.where(on, ext_f[s, :3], jnp.zeros(3, self.dtype))
+                t = jnp.where(on, ext_f[s, 3:], jnp.zeros(3, self.dtype))
+                r = bs.pos[s] - bs.pos[p]
+                ext_f = (ext_f.at[p, :3].add(f)
+                         .at[p, 3:].add(t + jnp.cross(r, f))
+                         .at[s].set(0.0))
 
         for i, b in enumerate(self.bodies):
             o = b.q_offset

@@ -261,3 +261,106 @@ def test_floating_com_offset_force_couples_rotation(tmp_path):
     r_c = np.asarray(Q.qrot(Q.w2quat(s.q[:3]), jnp.asarray([0.0, d, 0.0])))
     vc = np.asarray(s.qd[3:]) + np.cross(np.asarray(s.qd[:3]), r_c)
     np.testing.assert_allclose(vc, [dt * 1.0 / mass, 0, 0], atol=1e-12)
+
+
+def _welded_pendulum_urdf(tmp_path, m1=0.3, L1=0.1, m2=0.15, L=0.2):
+    """Revolute rod (point mass m1 at -L1 y) with a tip mass m2 WELDED at
+    -L y: the composite must behave as one compound pendulum."""
+    obj = tmp_path / "bit.obj"
+    lo, hi = -0.01, 0.01
+    verts = [(x, y, z) for x in (lo, hi) for y in (lo, hi) for z in (lo, hi)]
+    lines = [f"v {x} {y} {z}" for x, y, z in verts]
+    lines += ["f 1 2 4 3", "f 5 7 8 6", "f 1 5 6 2",
+              "f 3 4 8 7", "f 1 3 7 5", "f 2 6 8 4"]
+    obj.write_text("\n".join(lines) + "\n")
+    urdf = tmp_path / "weld.urdf"
+    urdf.write_text(f"""<?xml version="1.0"?>
+<robot name="weldpend">
+  <link name="world"/>
+  <joint name="j1" type="revolute">
+    <parent link="world"/> <child link="rod"/>
+    <origin xyz="0 0 0" rpy="0 0 0"/> <axis xyz="0 0 1"/>
+  </joint>
+  <link name="rod">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 {-L1} 0"/>
+      <mass value="{m1}"/>
+      <inertia ixx="0" ixy="0" ixz="0" iyy="0" iyz="0" izz="0"/>
+    </inertial>
+    <collision><geometry><mesh filename="bit.obj"/></geometry></collision>
+  </link>
+  <joint name="wj" type="fixed">
+    <parent link="rod"/> <child link="tip"/>
+    <origin xyz="0 {-L} 0" rpy="0 0 0"/>
+  </joint>
+  <link name="tip">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 0 0"/>
+      <mass value="{m2}"/>
+      <inertia ixx="0" ixy="0" ixz="0" iyy="0" iyz="0" izz="0"/>
+    </inertial>
+    <collision><geometry><mesh filename="bit.obj"/></geometry></collision>
+  </link>
+</robot>
+""")
+    return load_urdf(urdf)
+
+
+def test_weld_composite_pendulum(tmp_path):
+    """Welded tip mass folds into the revolute rod: small oscillations match
+    the compound pendulum w^2 = g(m1 L1 + m2 L)/(m1 L1^2 + m2 L^2), and the
+    weld primitive's pose/velocity ride the parent."""
+    m1, L1, m2, L = 0.3, 0.1, 0.15, 0.2
+    g, dt = 9.8, 1e-4
+    urdf = _welded_pendulum_urdf(tmp_path, m1, L1, m2, L)
+    m = RigidModel([urdf], rigid_cfg(init_state=(0.0, 0.0)), env_dt=dt,
+                   dtype=jnp.float64)
+    assert [b.jtype for b in m.bodies] == ["revolute", "weld"]
+    assert m.action_dim == 1
+    # composite inertials on the parent
+    np.testing.assert_allclose(m.bodies[0].mass, m1 + m2, rtol=1e-12)
+    c_t = (m1 * L1 + m2 * L) / (m1 + m2)
+    np.testing.assert_allclose(m.bodies[0].com, [0.0, -c_t, 0.0], atol=1e-12)
+
+    I_axis = m1 * L1 ** 2 + m2 * L ** 2
+    omega = np.sqrt(g * (m1 * L1 + m2 * L) / I_axis)
+    phi0 = 0.05
+    # this URDF hangs along -y at q=0, so q measures from equilibrium
+    s = RigidState(q=jnp.asarray([phi0]), qd=jnp.asarray([0.0]))
+    zero_ext = jnp.zeros((2, 6), jnp.float64)
+    step = jax.jit(lambda s: m.step(s, None, zero_ext))
+    quarter = int(round((np.pi / 2) / omega / dt))
+    import jax.lax as lax
+    s = lax.fori_loop(0, quarter, lambda i, s: step(s), s)
+    assert abs(float(s.q[0])) < 0.15 * phi0
+    np.testing.assert_allclose(abs(float(s.qd[0])), phi0 * omega, rtol=2e-2)
+
+    # weld primitive kinematics at a known state
+    sq = RigidState(q=jnp.asarray([0.3]), qd=jnp.asarray([1.7]))
+    b = m.body_states(sq)
+    R = np.array([[np.cos(0.3), -np.sin(0.3), 0],
+                  [np.sin(0.3), np.cos(0.3), 0], [0, 0, 1.0]])
+    np.testing.assert_allclose(np.asarray(b.pos[1]), R @ [0, -L, 0],
+                               atol=1e-12)
+    # weld COM spatial velocity (body frame): w x r at r=(0,-L,0), w=1.7 z
+    np.testing.assert_allclose(np.asarray(b.w[1]), [0, 0, 1.7], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.v[1]),
+                               np.cross([0, 0, 1.7], [0, -L, 0]), atol=1e-12)
+
+
+def test_weld_wrench_folds_to_parent(tmp_path):
+    """A contact force on the WELD primitive torques the composite about the
+    parent joint: qd after one step = dt * (r x f).axis / I_composite."""
+    m1, L1, m2, L = 0.3, 0.1, 0.15, 0.2
+    dt = 1e-4
+    urdf = _welded_pendulum_urdf(tmp_path, m1, L1, m2, L)
+    m = RigidModel([urdf], rigid_cfg(init_state=(0.0, 0.0),
+                                     gravity=(0.0, 0.0, 0.0)), env_dt=dt,
+                   dtype=jnp.float64)
+    fx = 0.8
+    ext = jnp.zeros((2, 6), jnp.float64).at[1, 0].set(fx)
+    s = m.step(RigidState(q=jnp.asarray([0.0]), qd=jnp.asarray([0.0])),
+               None, ext)
+    I_axis = m1 * L1 ** 2 + m2 * L ** 2
+    np.testing.assert_allclose(float(s.qd[0]), dt * L * fx / I_axis,
+                               rtol=1e-9)
