@@ -44,18 +44,23 @@ from softmac_tpu.engine import quat as Q
 
 @dataclasses.dataclass
 class ChainJoint:
-    """One 1-DoF joint in an articulated tree, with its child link's inertia.
+    """One joint in an articulated tree, with its child link's inertia.
 
     ``origin_pos``/``origin_rot``: the joint frame's fixed transform relative
     to the PARENT joint frame (URDF <origin> accumulated through any
-    interleaved fixed joints). ``axis``: motion axis in the joint frame.
-    ``com``/``inertia``: child link inertial properties in the joint frame
-    (URDF <inertial>, inertia about the COM).
+    interleaved fixed joints). ``axis``: motion axis in the joint frame
+    (1-DoF types). ``com``/``inertia``: child link inertial properties in
+    the joint frame (URDF <inertial>, inertia about the COM).
+
+    ``floating`` joints carry 6 dofs [w(3) exp-coords, p(3) translation]:
+    child = joint-frame ∘ (rotate R(w), translate p). The chart is
+    re-centered to the principal rotation vector after every step, so |w|
+    stays ≤ π and never reaches the exp-coordinate singularity at 2π.
     """
-    jtype: str                    # 'revolute' | 'prismatic'
+    jtype: str                    # 'revolute' | 'prismatic' | 'floating'
     origin_pos: np.ndarray        # (3,)
     origin_rot: np.ndarray        # (3,3)
-    axis: np.ndarray              # (3,) unit
+    axis: np.ndarray              # (3,) unit (ignored for floating)
     mass: float
     inertia: np.ndarray           # (3,3) about COM, link frame
     com: np.ndarray               # (3,)
@@ -66,14 +71,22 @@ class ChainJoint:
     gravity_on: bool = True       # RigidModel ext-force flag: masks gravity
                                   # exactly like the 1-DoF fast paths do
 
+    @property
+    def ndof(self) -> int:
+        return 6 if self.jtype == "floating" else 1
+
 
 class ArticulatedTree:
-    """Fixed-base tree of 1-DoF joints; all methods are pure functions of
-    (q, qd) suitable for tracing inside the jitted rollout.
+    """Fixed-base tree of revolute/prismatic/floating joints; all methods
+    are pure functions of (q, qd) suitable for tracing inside the jitted
+    rollout. q concatenates each joint's dofs in joint order.
 
     ``parents[i]`` is the index of joint i's parent joint (-1 = the fixed
     base); joints must be listed in topological order (parent before
-    child). Omitting ``parents`` gives a serial chain."""
+    child). Omitting ``parents`` gives a serial chain. A ``floating`` root
+    makes the whole assembly free-flying (DART FreeJoint-carried skeleton);
+    the Lagrangian-via-AD dynamics are chart-agnostic, so nothing but fk
+    changes."""
 
     def __init__(self, joints: List[ChainJoint], base_pos, base_rot,
                  gravity, dt: float, dtype=jnp.float64, parents=None):
@@ -84,6 +97,9 @@ class ArticulatedTree:
         assert len(self.parents) == self.n
         assert all(p < i for i, p in enumerate(self.parents)), \
             "joints must be topologically ordered (parent before child)"
+        self.dof_off = np.concatenate(
+            [[0], np.cumsum([j.ndof for j in joints])]).astype(int)
+        self.n_dof = int(self.dof_off[-1])
         self.base_pos = np.asarray(base_pos, np.float64)
         self.base_rot = np.asarray(base_rot, np.float64)
         self.gravity = np.asarray(gravity, np.float64)
@@ -100,13 +116,18 @@ class ArticulatedTree:
             par = self.parents[i]
             pp = base_p if par < 0 else out_p[par]
             pr = base_r if par < 0 else out_r[par]
+            o = self.dof_off[i]
             pos = pp + pr @ jnp.asarray(j.origin_pos, q.dtype)
             rot = pr @ jnp.asarray(j.origin_rot, q.dtype)
-            a = jnp.asarray(j.axis, q.dtype)
-            if j.jtype == "revolute":
-                rot = rot @ Q.quat2mat(Q.w2quat(a * q[i]))
+            if j.jtype == "floating":
+                pos = pos + rot @ q[o + 3:o + 6]
+                rot = rot @ Q.quat2mat(Q.w2quat(q[o:o + 3]))
+            elif j.jtype == "revolute":
+                a = jnp.asarray(j.axis, q.dtype)
+                rot = rot @ Q.quat2mat(Q.w2quat(a * q[o]))
             else:  # prismatic
-                pos = pos + rot @ (a * q[i])
+                a = jnp.asarray(j.axis, q.dtype)
+                pos = pos + rot @ (a * q[o])
             out_p.append(pos)
             out_r.append(rot)
         return jnp.stack(out_p), jnp.stack(out_r)
@@ -167,22 +188,45 @@ class ArticulatedTree:
         tau = tau_act + self.generalized_ext(q, qd, wrenches)
         rhs = tau - (dpdq @ qd - dke_dq + dpe_dq)
 
-        D = jnp.diag(jnp.asarray([j.damping for j in self.joints], q.dtype))
+        # per-dof viscous damping / URDF limits (floating dofs get none)
+        def per_dof(f, fill):
+            out = []
+            for j in self.joints:
+                out += [fill] * 6 if j.jtype == "floating" else [f(j)]
+            return np.asarray(out)
+
+        D = jnp.diag(jnp.asarray(per_dof(lambda j: j.damping, 0.0), q.dtype))
         qd_new = jnp.linalg.solve(M + dt * D, M @ qd + dt * rhs)
 
-        # per-joint URDF limits (velocity clamp; position clamp zeroing qd)
-        vel_cap = np.asarray([j.limit_velocity for j in self.joints])
+        vel_cap = per_dof(lambda j: j.limit_velocity, np.inf)
         if np.isfinite(vel_cap).any():
             qd_new = jnp.clip(qd_new, -jnp.asarray(vel_cap, q.dtype),
                               jnp.asarray(vel_cap, q.dtype))
         q_new = q + dt * qd_new
-        lo = np.asarray([j.limit_lower for j in self.joints])
-        hi = np.asarray([j.limit_upper for j in self.joints])
+        lo = per_dof(lambda j: j.limit_lower, -np.inf)
+        hi = per_dof(lambda j: j.limit_upper, np.inf)
         if np.isfinite(lo).any() or np.isfinite(hi).any():
             q_c = jnp.clip(q_new, jnp.asarray(lo, q.dtype),
                            jnp.asarray(hi, q.dtype))
             qd_new = jnp.where(q_c != q_new, 0.0, qd_new)
             q_new = q_c
+
+        # re-center floating charts to the principal rotation vector so a
+        # tumbling base never approaches the exp-coordinate singularity;
+        # the velocity coords transform through the chart map's Jacobian
+        # (identity whenever |w| < pi, i.e. almost always a no-op)
+        for i, j in enumerate(self.joints):
+            if j.jtype != "floating":
+                continue
+            o = self.dof_off[i]
+
+            def princ(wv):
+                return Q.quat2w(Q.w2quat(wv))
+
+            w_c, wd_c = jax.jvp(princ, (q_new[o:o + 3],),
+                                (qd_new[o:o + 3],))
+            q_new = q_new.at[o:o + 3].set(w_c)
+            qd_new = qd_new.at[o:o + 3].set(wd_c)
         return q_new, qd_new
 
     # -- contact interface ----------------------------------------------------

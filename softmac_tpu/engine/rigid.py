@@ -246,21 +246,25 @@ class RigidModel:
 
             from softmac_tpu.engine.chain import ArticulatedTree, ChainJoint
             for path, tree_parents in chain_paths:
-                members = []
+                members, qidx = [], []
                 for name in path:
                     jj, anc, jpos, jrot = info[name]
                     if jj.jtype not in ("revolute", "prismatic",
-                                        "continuous"):
+                                        "continuous", "floating"):
                         raise NotImplementedError(
-                            "articulated chains support 1-DoF joints only "
-                            f"(got {jj.jtype} at {name})")
+                            "articulated trees support revolute/prismatic/"
+                            f"floating joints only (got {jj.jtype} at "
+                            f"{name})")
                     bb = self.bodies[slot_of[name]]   # composite if welded-on
+                    jt = ("revolute" if jj.jtype == "continuous"
+                          else jj.jtype)
+                    axis = np.asarray(jj.axis, np.float64)
+                    if jt != "floating":
+                        axis = axis / np.linalg.norm(axis)
                     members.append(ChainJoint(
-                        jtype=("revolute" if jj.jtype == "continuous"
-                               else jj.jtype),
+                        jtype=jt,
                         origin_pos=jpos, origin_rot=jrot,
-                        axis=(np.asarray(jj.axis, np.float64)
-                              / np.linalg.norm(jj.axis)),
+                        axis=axis,
                         mass=bb.mass, inertia=bb.inertia,
                         com=np.asarray(bb.com, np.float64),
                         damping=self.joint_damping,
@@ -268,13 +272,15 @@ class RigidModel:
                         limit_upper=getattr(jj, "limit_upper", np.inf),
                         limit_velocity=getattr(jj, "limit_velocity", np.inf),
                     ))
+                    qidx.append(qoff_of[name]
+                                + np.arange(members[-1].ndof))
                 cid = len(self._chains)
                 self._chains.append({
                     "chain": ArticulatedTree(members, np.zeros(3), np.eye(3),
                                              self.gravity, self.dt, dtype,
                                              parents=tree_parents),
                     "slots": [slot_of[n] for n in path],
-                    "qidx": np.asarray([qoff_of[n] for n in path]),
+                    "qidx": np.concatenate(qidx),
                 })
                 for s in self._chains[-1]["slots"]:
                     self.bodies[s].chain_id = cid
@@ -505,17 +511,26 @@ class RigidModel:
 
         for spec in self._chains:
             qi = jnp.asarray(spec["qidx"])
+            ch = spec["chain"]
             tau = action[qi]
             rows = []
-            for s in spec["slots"]:
+            for m, s in enumerate(spec["slots"]):
                 b = self.bodies[s]
                 fe = jnp.where(b.gravity_on, ext_f[s, :3],
                                jnp.zeros(3, self.dtype))
                 te = jnp.where(b.gravity_on, ext_f[s, 3:],
                                jnp.zeros(3, self.dtype))
+                if ch.joints[m].jtype == "floating":
+                    # free-joint actions are world wrenches at the body
+                    # origin ([torque(3), force(3)], matching the fast
+                    # path); route them through the wrench row so the
+                    # chart's J^T maps them to generalized forces exactly
+                    o = int(ch.dof_off[m])
+                    te = te + tau[o:o + 3]
+                    fe = fe + tau[o + 3:o + 6]
+                    tau = tau.at[o:o + 6].set(0.0)
                 rows.append(jnp.concatenate([fe, te]))
-            q_n, qd_n = spec["chain"].step(q[qi], qd[qi], tau,
-                                           jnp.stack(rows))
+            q_n, qd_n = ch.step(q[qi], qd[qi], tau, jnp.stack(rows))
             new_q = new_q.at[qi].set(q_n)
             new_qd = new_qd.at[qi].set(qd_n)
 

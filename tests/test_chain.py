@@ -493,6 +493,193 @@ def test_env_chain_contact_coupling(tmp_path):
         abs(float(rigid.q[0] - free.q[0])) > 1e-3
 
 
+def test_floating_joint_exact_cases():
+    """Floating (6-DoF chart) joint in the tree: ballistic translation and
+    principal-axis spin are EXACT for semi-implicit Euler (the chart
+    coincides with the world coords in both cases)."""
+    from softmac_tpu.engine.chain import ArticulatedTree
+    mass, I3 = 0.4, np.diag([2e-3, 3e-3, 4e-3])
+    j = ChainJoint(jtype="floating", origin_pos=np.zeros(3),
+                   origin_rot=np.eye(3), axis=np.array([0.0, 0, 1]),
+                   mass=mass, inertia=I3, com=np.zeros(3))
+    dt = 1e-3
+    tree = ArticulatedTree([j], base_pos=np.zeros(3), base_rot=np.eye(3),
+                           gravity=(0.0, -G, 0.0), dt=dt, dtype=jnp.float64)
+    assert tree.n_dof == 6
+
+    # ballistic: y(T) = -g dt^2 T(T+1)/2 (matches the closed-form fast path)
+    q = jnp.zeros(6, jnp.float64)
+    qd = jnp.zeros(6, jnp.float64)
+    tau = jnp.zeros(6, jnp.float64)
+    wr = jnp.zeros((1, 6), jnp.float64)
+    step = jax.jit(lambda q, qd: tree.step(q, qd, tau, wr))
+    T = 50
+    for _ in range(T):
+        q, qd = step(q, qd)
+    np.testing.assert_allclose(float(q[4]), -G * dt * dt * T * (T + 1) / 2,
+                               atol=1e-10)
+    np.testing.assert_allclose(float(qd[4]), -G * dt * T, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(qd[:3]), 0.0, atol=1e-12)
+
+    # principal-axis spin under a constant world torque (zero gravity)
+    tree_g0 = ArticulatedTree([j], base_pos=np.zeros(3), base_rot=np.eye(3),
+                              gravity=(0.0, 0.0, 0.0), dt=dt,
+                              dtype=jnp.float64)
+    wr_t = jnp.zeros((1, 6), jnp.float64).at[0, 5].set(1e-3)  # torque z
+    q = jnp.zeros(6, jnp.float64)
+    qd = jnp.zeros(6, jnp.float64)
+    step = jax.jit(lambda q, qd: tree_g0.step(q, qd, tau, wr_t))
+    for _ in range(20):
+        q, qd = step(q, qd)
+    np.testing.assert_allclose(float(qd[2]), 1e-3 / I3[2, 2] * dt * 20,
+                               rtol=1e-9)
+
+
+def test_floating_base_momentum_conservation():
+    """Free-flying assembly (floating box + revolute arm), zero gravity:
+    internal joint actuation must not move the COM or create net linear
+    momentum (Newton's third law through the chart's J^T routing)."""
+    from softmac_tpu.engine.chain import ArticulatedTree
+    mb, ma, L = 0.5, 0.2, 0.3
+    base = ChainJoint(jtype="floating", origin_pos=np.zeros(3),
+                      origin_rot=np.eye(3), axis=np.array([0.0, 0, 1]),
+                      mass=mb, inertia=np.diag([1e-3] * 3), com=np.zeros(3))
+    arm = ChainJoint(jtype="revolute", origin_pos=np.array([0.1, 0.0, 0.0]),
+                     origin_rot=np.eye(3), axis=np.array([0.0, 0, 1]),
+                     mass=ma, inertia=np.diag([1e-4] * 3),
+                     com=np.array([0.0, -L, 0.0]))
+    dt = 1e-4
+    tree = ArticulatedTree([base, arm], base_pos=np.zeros(3),
+                           base_rot=np.eye(3), gravity=(0.0, 0.0, 0.0),
+                           dt=dt, dtype=jnp.float64, parents=[-1, 0])
+
+    def com_and_momentum(q, qd):
+        p, R = tree.fk(q)
+        w, v = tree.link_velocities(q, qd)
+        mom, com, mt = jnp.zeros(3), jnp.zeros(3), 0.0
+        for i, j in enumerate(tree.joints):
+            cw = p[i] + R[i] @ jnp.asarray(j.com, q.dtype)
+            vcw = v[i] + jnp.cross(w[i], R[i] @ jnp.asarray(j.com, q.dtype))
+            mom = mom + j.mass * vcw
+            com = com + j.mass * cw
+            mt += j.mass
+        return com / mt, mom
+
+    q = jnp.zeros(7, jnp.float64).at[6].set(0.4)   # arm angle 0.4
+    qd = jnp.zeros(7, jnp.float64)
+    com0, _ = com_and_momentum(q, qd)
+    tau = jnp.zeros(7, jnp.float64).at[6].set(2e-3)  # internal actuation
+    wr = jnp.zeros((2, 6), jnp.float64)
+    step = jax.jit(lambda q, qd: tree.step(q, qd, tau, wr))
+    for _ in range(1000):
+        q, qd = step(q, qd)
+    com1, mom1 = com_and_momentum(q, qd)
+    # the arm is clearly swinging...
+    assert abs(float(qd[6])) > 0.05
+    # ...but the COM stays put and net momentum stays ~0
+    scale = (mb + ma) * L
+    assert float(jnp.linalg.norm(com1 - com0)) < 1e-5
+    assert float(jnp.linalg.norm(mom1)) / scale < 1e-3
+
+
+def test_urdf_floating_base_tree(tmp_path):
+    """URDF with a floating base link carrying a revolute arm: detected as
+    one 7-dof tree; started with internal spin, the COM still free-falls
+    ballistically (internal dynamics cannot move the COM)."""
+    from softmac_tpu.config.node import CN
+    from softmac_tpu.engine.meshio import load_urdf
+    from softmac_tpu.engine.rigid import RigidModel, RigidState
+
+    obj = tmp_path / "tip.obj"
+    lo, hi = -0.01, 0.01
+    verts = [(x, y, z) for x in (lo, hi) for y in (lo, hi) for z in (lo, hi)]
+    lines = [f"v {x} {y} {z}" for x, y, z in verts]
+    lines += ["f 1 2 4 3", "f 5 7 8 6", "f 1 5 6 2",
+              "f 3 4 8 7", "f 1 3 7 5", "f 2 6 8 4"]
+    obj.write_text("\n".join(lines) + "\n")
+    urdf = tmp_path / "flybot.urdf"
+    urdf.write_text(f"""<?xml version="1.0"?>
+<robot name="flybot">
+  <link name="world"/>
+  <joint name="root" type="floating">
+    <parent link="world"/> <child link="body"/>
+    <origin xyz="0.5 0.5 0.5" rpy="0 0 0"/>
+  </joint>
+  <link name="body">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 0 0"/>
+      <mass value="0.5"/>
+      <inertia ixx="1e-3" ixy="0" ixz="0" iyy="1e-3" iyz="0" izz="1e-3"/>
+    </inertial>
+    <collision><geometry><mesh filename="tip.obj"/></geometry></collision>
+  </link>
+  <joint name="shoulder" type="revolute">
+    <parent link="body"/> <child link="arm"/>
+    <origin xyz="0.05 0 0" rpy="0 0 0"/> <axis xyz="0 0 1"/>
+  </joint>
+  <link name="arm">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 -0.2 0"/>
+      <mass value="0.2"/>
+      <inertia ixx="1e-4" ixy="0" ixz="0" iyy="1e-4" iyz="0" izz="1e-4"/>
+    </inertial>
+    <collision><geometry><mesh filename="tip.obj"/></geometry></collision>
+  </link>
+</robot>
+""")
+    cfg = CN()
+    cfg.gravity = (0.0, -G, 0.0)
+    cfg.init_state = (0.0,) * 6 + (0.8,) + (0.0,) * 6 + (2.0,)
+    cfg.enable_floor = False
+    cfg.floor_height = -0.08
+    cfg.floor_stiffness = 1e4
+    cfg.floor_damping = 10.0
+    cfg.ext_grad_scale = 1.0
+
+    dt = 1e-4
+    m = RigidModel([load_urdf(urdf)], cfg, env_dt=dt, dtype=jnp.float64)
+    assert len(m._chains) == 1
+    assert m._chains[0]["chain"].n_dof == 7
+    assert m.action_dim == 7
+
+    tree = m._chains[0]["chain"]
+    s = m.init_state()
+
+    def com_of(q):
+        p, R = tree.fk(q)
+        num, mt = jnp.zeros(3), 0.0
+        for i, j in enumerate(tree.joints):
+            num = num + j.mass * (p[i] + R[i] @ jnp.asarray(j.com, q.dtype))
+            mt += j.mass
+        return num / mt, mt
+
+    # initial COM velocity from the initial arm spin (total momentum / mass)
+    com0, m_tot = com_of(s.q)
+    com0 = np.asarray(com0)
+    _, v_com0 = jax.jvp(lambda q: com_of(q)[0], (s.q,), (s.qd,))
+    v_com0 = np.asarray(v_com0)
+
+    step = jax.jit(lambda s: m.step(s, None, jnp.zeros((2, 6), jnp.float64)))
+    T = 400
+    import jax.lax as lax
+    s = lax.fori_loop(0, T, lambda i, s: step(s), s)
+    assert np.isfinite(np.asarray(s.q)).all()
+    # internal state clearly evolved (arm spins, base counter-rotates)...
+    assert abs(float(s.q[6] - 0.8)) > 0.05
+    assert abs(float(s.qd[2])) > 1e-4
+    # ...while the COM translates ballistically: uniform velocity from the
+    # initial spin in x/z, quadratic free fall in y — internal dynamics
+    # cannot change total momentum
+    com1 = np.asarray(com_of(s.q)[0])
+    horizon = dt * T
+    np.testing.assert_allclose(com1[0], com0[0] + v_com0[0] * horizon,
+                               atol=5e-5)
+    np.testing.assert_allclose(com1[2], com0[2] + v_com0[2] * horizon,
+                               atol=5e-5)
+    y_expect = com0[1] + v_com0[1] * horizon - G * dt * dt * T * (T + 1) / 2
+    np.testing.assert_allclose(com1[1], y_expect, atol=5e-4)
+
+
 def test_body_states_convention():
     """body_states must return BODY-frame COM spatial velocity (the contact
     collider rotates body->world): check against the world COM velocity from
