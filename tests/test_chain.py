@@ -582,6 +582,41 @@ def test_floating_base_momentum_conservation():
     assert float(jnp.linalg.norm(mom1)) / scale < 1e-3
 
 
+def test_gradients_through_floating_base_match_finite_differences():
+    """d loss / d wrench through multiple floating-base steps (incl. the
+    chart re-centering jvp) vs central finite differences."""
+    from softmac_tpu.engine.chain import ArticulatedTree
+    base = ChainJoint(jtype="floating", origin_pos=np.zeros(3),
+                      origin_rot=np.eye(3), axis=np.array([0.0, 0, 1]),
+                      mass=0.5, inertia=np.diag([1e-3] * 3),
+                      com=np.array([0.02, 0.0, 0.0]))
+    arm = ChainJoint(jtype="revolute", origin_pos=np.array([0.1, 0.0, 0.0]),
+                     origin_rot=np.eye(3), axis=np.array([0.0, 0, 1]),
+                     mass=0.2, inertia=np.diag([1e-4] * 3),
+                     com=np.array([0.0, -0.3, 0.0]))
+    tree = ArticulatedTree([base, arm], base_pos=np.zeros(3),
+                           base_rot=np.eye(3), gravity=(0.0, -G, 0.0),
+                           dt=1e-3, dtype=jnp.float64, parents=[-1, 0])
+
+    def loss(wr_base):
+        q = jnp.zeros(7, jnp.float64).at[6].set(0.5)
+        qd = jnp.zeros(7, jnp.float64).at[2].set(0.8)
+        tau = jnp.zeros(7, jnp.float64)
+        wr = jnp.zeros((2, 6), jnp.float64).at[0].set(wr_base)
+        for _ in range(4):
+            q, qd = tree.step(q, qd, tau, wr)
+        return jnp.sum(q ** 2) + 0.1 * jnp.sum(qd ** 2)
+
+    wr0 = jnp.asarray([0.3, -0.2, 0.1, 0.05, -0.03, 0.02], jnp.float64)
+    g = np.asarray(jax.jit(jax.grad(loss))(wr0))
+    eps = 1e-6
+    for i in range(6):
+        e = np.zeros(6)
+        e[i] = eps
+        fd = (float(loss(wr0 + e)) - float(loss(wr0 - e))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=2e-5, atol=1e-10)
+
+
 def test_urdf_floating_base_tree(tmp_path):
     """URDF with a floating base link carrying a revolute arm: detected as
     one 7-dof tree; started with internal spin, the COM still free-falls
