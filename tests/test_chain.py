@@ -391,12 +391,9 @@ def _arm_obj(tmp_path, L=0.16, half=0.02):
     return obj
 
 
-def test_env_chain_contact_coupling(tmp_path):
-    """Full-stack two-way coupling with an articulated double pendulum as
-    the scene's rigid primitive: URDF -> SDF bake -> jitted env steps. The
-    swinging arm must push the particle blob (forward coupling) and the
-    reaction wrench must slow the swing vs the free pendulum (reverse
-    coupling through RigidModel.step -> ArticulatedTree.step)."""
+def build_chain_env(tmp_path, n_particles=1200):
+    """Small env whose rigid primitive is an articulated double pendulum
+    (used here and by the sharding equivalence tests)."""
     from softmac_tpu import SoftMacEnv, get_cfg_defaults
     from softmac_tpu.config.node import CN
 
@@ -445,7 +442,7 @@ def test_env_chain_contact_coupling(tmp_path):
     cfg.SIMULATOR.collision_type = 2   # mixed / forecast
     cfg.SHAPES = [{
         "shape": "box", "width": (0.06, 0.08, 0.06),
-        "init_pos": [0.60, 0.47, 0.5], "n_particles": 1200,
+        "init_pos": [0.60, 0.47, 0.5], "n_particles": n_particles,
         "color": 0, "init_rot": None,
     }]
     prim = CN()
@@ -458,7 +455,16 @@ def test_env_chain_contact_coupling(tmp_path):
     cfg.RIGID.init_state = (1.2, 0.0, 0.0, 0.0)
     cfg.TPU.active_window = (24, 24, 16)
 
-    env = SoftMacEnv(cfg, loss=False)
+    return SoftMacEnv(cfg, loss=False)
+
+
+def test_env_chain_contact_coupling(tmp_path):
+    """Full-stack two-way coupling with an articulated double pendulum as
+    the scene's rigid primitive: URDF -> SDF bake -> jitted env steps. The
+    swinging arm must push the particle blob (forward coupling) and the
+    reaction wrench must slow the swing vs the free pendulum (reverse
+    coupling through RigidModel.step -> ArticulatedTree.step)."""
+    env = build_chain_env(tmp_path)
     assert env.n_primitives == 2
     assert len(env.rigid_model._chains) == 1
     assert [b.jtype for b in env.rigid_model.bodies] == ["chain", "chain"]

@@ -96,3 +96,39 @@ def test_sharded_sorted_carry_matches_default(pour_env, monkeypatch):
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(got[2].q), np.asarray(ref[2].q),
                                atol=1e-12)
+
+
+def test_sharded_rollout_articulated_tree(tmp_path):
+    """The articulated-tree solver (engine/chain.py) under shard_map: an
+    8-device particle-sharded rollout of a scene whose rigid primitive is a
+    double pendulum INSIDE the particle blob must match the 1-device
+    rollout (rigid state is replicated; only the transfers shard)."""
+    import test_chain
+    env = test_chain.build_chain_env(tmp_path, n_particles=256)
+    # start the arm inside the blob with inward swing so contact fires
+    # within a few steps
+    env.rigid_model._q0 = np.asarray([0.42, 0.0])
+    env.rigid_model._qd0 = np.asarray([-1.0, 0.0])
+
+    n_steps = 3
+    carry0 = env._initial_carry()
+    actions = jnp.zeros((n_steps, env.action_dim), env.dtype)
+
+    ref = jax.jit(lambda c, a: _unsharded_rollout(env, c, a))(carry0, actions)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    rollout = sh.make_sharded_rollout(env, mesh, n_steps)
+    out = rollout(env.mpm_params, carry0, actions)
+
+    assert float(jnp.abs(ref[2].qd).max()) > 0.1  # the tree is swinging
+    for c in range(3):
+        np.testing.assert_allclose(np.asarray(out[0].x[c]),
+                                   np.asarray(ref[0].x[c]),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(out[0].v[c]),
+                                   np.asarray(ref[0].v[c]),
+                                   rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out[2].q), np.asarray(ref[2].q),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out[2].qd), np.asarray(ref[2].qd),
+                               rtol=1e-9, atol=1e-12)
