@@ -721,6 +721,35 @@ def test_urdf_floating_base_tree(tmp_path):
     np.testing.assert_allclose(com1[1], y_expect, atol=5e-4)
 
 
+def test_vmap_through_tree_env_step(tmp_path):
+    """Batched rollouts / replica robustification vmap the env step; the
+    tree solver (hessian + linalg.solve inside) must be vmap-clean and
+    replica 0 must match the unbatched step exactly."""
+    env = build_chain_env(tmp_path, n_particles=256)
+    c0 = env._initial_carry()
+    B = 3
+    carry = jax.tree.map(
+        lambda s: jnp.broadcast_to(s[None], (B,) + s.shape), c0)
+    rng = np.random.RandomState(0)
+    noise = rng.randn(B, *np.shape(c0[0].x)) * 1e-4
+    noise[0] = 0.0
+    mpm = carry[0].replace(x=carry[0].x + jnp.asarray(noise, env.dtype))
+    carry = (mpm,) + tuple(carry[1:])
+    actions = jnp.zeros((B, env.action_dim), env.dtype)
+
+    step_b = jax.jit(jax.vmap(lambda c, a: env._env_step_fn(c, a)[0]))
+    out = step_b(carry, actions)   # leaves gain a leading replica axis
+    ref = jax.jit(lambda c, a: env._env_step_fn(c, a)[0])(c0, actions[0])
+
+    assert np.isfinite(np.asarray(out[0].x)).all()
+    np.testing.assert_allclose(np.asarray(out[0].x[0]),
+                               np.asarray(ref[0].x), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out[2].q[0]),
+                               np.asarray(ref[2].q), atol=1e-12)
+    # jittered replicas actually diverge from replica 0
+    assert float(jnp.max(jnp.abs(out[0].x[1] - out[0].x[0]))) > 0
+
+
 def test_body_states_convention():
     """body_states must return BODY-frame COM spatial velocity (the contact
     collider rotates body->world): check against the world COM velocity from
