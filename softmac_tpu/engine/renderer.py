@@ -4,10 +4,12 @@ The reference renders with pyrender/EGL (``softmac/engine/renderer/renderer.py``
 512x512 offscreen — 1024x1024 for the cloth scenes, soft_cloth renderer — with
 a checkerboard floor, particle spheres, rigid meshes). pyrender is not
 available in this environment, so this is a first-party software rasterizer:
-numpy z-buffer, point splats for particles, per-face diffuse-shaded triangles
-for rigid/cloth meshes (shade = 0.35 + 0.65|n.l| against the configured
-light), checkerboard floor, and target-geometry overlays. Resolution comes
-from RENDERER.image_res (default 512x512; the cloth demo configs set 1024).
+numpy z-buffer, point splats for particles, diffuse-shaded triangles
+(shade = 0.35 + 0.65|n.l| against the configured light) — flat per face for
+sharp-edged rigid meshes, Gouraud-interpolated from area-weighted vertex
+normals for cloth (pyrender-style smooth look) — checkerboard floor, and
+target-geometry overlays. Resolution comes from RENDERER.image_res
+(default 512x512; the cloth demo configs set 1024).
 """
 from __future__ import annotations
 
@@ -80,15 +82,26 @@ class PointRenderer:
                 depth[yi[sel] + dy, xi[sel] + dx] = z[sel]
                 img[yi[sel] + dy, xi[sel] + dx] = colors[sel]
 
-    def _raster_mesh(self, img, depth, verts, faces, color, alpha=1.0):
+    def _raster_mesh(self, img, depth, verts, faces, color, alpha=1.0,
+                     smooth=False):
         h, w = self.res[1], self.res[0]
         sx, sy, z, valid = self._project(verts)
         tri = faces
-        # backface-agnostic flat shading by world normal
+        # backface-agnostic shading by world normal; with smooth=True the
+        # shade is Gouraud-interpolated from area-weighted vertex normals
+        # (pyrender-style smooth look for cloth), else flat per face
+        # (right for the sharp-edged rigid boxes)
         v0, v1, v2 = verts[tri[:, 0]], verts[tri[:, 1]], verts[tri[:, 2]]
-        n = np.cross(v1 - v0, v2 - v0)
-        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+        n_raw = np.cross(v1 - v0, v2 - v0)   # area-weighted
+        n = n_raw / np.maximum(np.linalg.norm(n_raw, axis=1, keepdims=True),
+                               1e-12)
         shade = 0.35 + 0.65 * np.abs(n @ self.light_dir)
+        if smooth:
+            vn = np.zeros_like(verts)
+            for k in range(3):
+                np.add.at(vn, tri[:, k], n_raw)
+            vn /= np.maximum(np.linalg.norm(vn, axis=1, keepdims=True), 1e-12)
+            vshade = 0.35 + 0.65 * np.abs(vn @ self.light_dir)
         base = np.asarray(color[:3], np.float64)
 
         for t in np.argsort(-(z[tri].mean(axis=1))):  # far to near
@@ -112,12 +125,17 @@ class PointRenderer:
             inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
             zp = w0 * zs[0] + w1 * zs[1] + w2 * zs[2]
             sel = inside & (zp < depth[gy, gx])
+            if smooth:
+                sh = (w0 * vshade[i0] + w1 * vshade[i1]
+                      + w2 * vshade[i2])[sel][:, None]
+            else:
+                sh = shade[t]
             if alpha >= 0.999:
                 depth[gy[sel], gx[sel]] = zp[sel]
-                img[gy[sel], gx[sel]] = base * shade[t]
+                img[gy[sel], gx[sel]] = base * sh
             else:
                 img[gy[sel], gx[sel]] = (
-                    alpha * base * shade[t] + (1 - alpha) * img[gy[sel], gx[sel]])
+                    alpha * base * sh + (1 - alpha) * img[gy[sel], gx[sel]])
 
     def _draw_floor(self, img, depth):
         """Checkerboard ground plane via per-pixel ray casting."""
@@ -173,7 +191,7 @@ class PointRenderer:
         if cloth is not None:
             verts, faces = cloth
             self._raster_mesh(img, depth, np.asarray(verts), np.asarray(faces),
-                              np.array([0.85, 0.7, 0.3]))
+                              np.array([0.85, 0.7, 0.3]), smooth=True)
 
         if self._target is not None:
             tpts, _ = self._target
