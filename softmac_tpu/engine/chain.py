@@ -33,7 +33,7 @@ rigid_simulator.py:134-173).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -52,10 +52,16 @@ class ChainJoint:
     (1-DoF types). ``com``/``inertia``: child link inertial properties in
     the joint frame (URDF <inertial>, inertia about the COM).
 
-    ``floating`` joints carry 6 dofs [w(3) exp-coords, p(3) translation]:
-    child = joint-frame ∘ (rotate R(w), translate p). The chart is
-    re-centered to the principal rotation vector after every step, so |w|
-    stays ≤ π and never reaches the exp-coordinate singularity at 2π.
+    ``floating`` joints carry 6 dofs [w(3) exp-coords, p(3) translation]
+    interpreted as the child's WORLD pose (URDF <origin>/parent frame
+    ignored — a free joint is unconstrained; same state layout as the fast
+    path's floating branch). The chart is re-centered to the principal
+    rotation vector after every step, so |w| stays ≤ π and never reaches
+    the exp-coordinate singularity at 2π. NOTE the velocity coords are
+    CHART RATES, not world angular velocity: they coincide exactly when the
+    current orientation is identity (so init_state qd is a world rate iff
+    the initial orientation is), and differ by the exp-map Jacobian
+    otherwise — the trade for deriving the dynamics from the Lagrangian.
     """
     jtype: str                    # 'revolute' | 'prismatic' | 'floating'
     origin_pos: np.ndarray        # (3,)
@@ -120,8 +126,13 @@ class ArticulatedTree:
             pos = pp + pr @ jnp.asarray(j.origin_pos, q.dtype)
             rot = pr @ jnp.asarray(j.origin_rot, q.dtype)
             if j.jtype == "floating":
-                pos = pos + rot @ q[o + 3:o + 6]
-                rot = rot @ Q.quat2mat(Q.w2quat(q[o:o + 3]))
+                # world-pose chart matching the fast path's free-joint state
+                # layout (engine/rigid.py floating branch / Jade FreeJoint):
+                # q[o:o+3] = exp-coords of the WORLD rotation, q[o+3:o+6] =
+                # WORLD origin position; the URDF <origin> and parent frame
+                # are ignored — a free joint is unconstrained
+                pos = q[o + 3:o + 6]
+                rot = Q.quat2mat(Q.w2quat(q[o:o + 3]))
             elif j.jtype == "revolute":
                 a = jnp.asarray(j.axis, q.dtype)
                 rot = rot @ Q.quat2mat(Q.w2quat(a * q[o]))

@@ -599,12 +599,41 @@ class SoftMacEnv:
             mpm, extf = jax.lax.scan(sub, mpm, jnp.arange(cfg.substeps))
             ext_f = jnp.sum(extf, axis=0) / cfg.substeps
 
+            # fold weld-primitive wrenches onto their carriers first so the
+            # compensation sees the full wrench the composite body feels
+            bs = None
+            for i, b in enumerate(model.bodies):
+                if b.jtype != "weld" or not b.gravity_on:
+                    continue
+                if bs is None:
+                    bs = model.body_states(rigid)
+                p = b.weld_parent
+                f, t = ext_f[i, :3], ext_f[i, 3:]
+                r = bs.pos[i] - bs.pos[p]
+                ext_f = (ext_f.at[p, :3].add(f)
+                         .at[p, 3:].add(t + jnp.cross(r, f)))
+
+            def _free_compensate(adj, o, i, mass):
+                adj = adj.at[o:o + 3].add(-ext_f[i, 3:])
+                return adj.at[o + 3:o + 6].add(-(ext_f[i, :3] + mass * g))
+
             adj = action.astype(self.dtype)
             for i, b in enumerate(model.bodies):
-                if b.jtype == "floating" and b.gravity_on:
-                    o = b.q_offset
-                    adj = adj.at[o:o + 3].add(-ext_f[i, 3:])
-                    adj = adj.at[o + 3:o + 6].add(-(ext_f[i, :3] + b.mass * g))
+                if not b.gravity_on:
+                    continue
+                if b.jtype == "floating":
+                    adj = _free_compensate(adj, b.q_offset, i, b.mass)
+                elif b.jtype == "chain":
+                    spec = model._chains[b.chain_id]
+                    m = spec["slots"].index(i)
+                    ch = spec["chain"]
+                    if ch.joints[m].jtype == "floating":
+                        # a floating ROOT holds the whole assembly against
+                        # gravity (member masses already include welded-on
+                        # links via the composite fold)
+                        mass = (sum(j.mass for j in ch.joints)
+                                if ch.parents[m] < 0 else ch.joints[m].mass)
+                        adj = _free_compensate(adj, b.q_offset, i, mass)
             rigid = model.step(rigid, adj, ext_f)
             bodies = model.body_states(rigid)
             return (mpm, bodies, rigid), adj

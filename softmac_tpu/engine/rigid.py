@@ -200,7 +200,8 @@ class RigidModel:
                     com=np.asarray(link.inertial_origin, np.float64),
                     joint_pos=jpos,
                     joint_rot=jrot,
-                    axis=np.asarray(j.axis, np.float64),
+                    axis=(np.asarray(j.axis, np.float64)
+                          / np.linalg.norm(j.axis)),
                     gravity_on=True,
                     support_points=support,
                     skeleton=skel_id,
@@ -220,7 +221,6 @@ class RigidModel:
             # into its moving ancestor (mass-weighted com, parallel-axis
             # inertia); the ancestor's dynamics then carry the welded mass,
             # while the weld primitive itself is purely kinematic
-            composite = {}   # ancestor name -> (mass, inertia, com)
             for s, anc in welds:
                 if anc not in slot_of:
                     raise NotImplementedError(
@@ -242,7 +242,6 @@ class RigidModel:
                 I_t = (pb.inertia + pb.mass * _shift(pb.com - c_t)
                        + I_w + m_w * _shift(c_w - c_t))
                 pb.mass, pb.inertia, pb.com = m_t, I_t, c_t
-                composite[anc] = (m_t, I_t, c_t)
 
             from softmac_tpu.engine.chain import ArticulatedTree, ChainJoint
             for path, tree_parents in chain_paths:
@@ -346,13 +345,18 @@ class RigidModel:
                 w.append(w_b)
                 v.append(v_b + jnp.cross(w_b, com))
             elif b.jtype == "revolute":
-                axis_w = jnp.asarray(b.joint_rot @ b.axis, self.dtype)
-                bq = Q.w2quat(axis_w * state.q[o])
+                # link frame = joint_rot ∘ R(axis·q); exporting
+                # R(axis_w·q) alone would be off by a joint_rot similarity
+                # for URDFs with <origin rpy> != 0 (latent in the reference
+                # scenes, which all use rpy = 0)
+                a = jnp.asarray(b.axis / np.linalg.norm(b.axis), self.dtype)
+                jq = Q.mat2quat(jnp.asarray(b.joint_rot, self.dtype))
+                bq = Q.qmul(jq, Q.w2quat(a * state.q[o]))
                 pos.append(jnp.asarray(b.joint_pos, self.dtype))
                 quat.append(bq)
-                # the rotation axis is invariant under its own rotation, so
-                # the body-frame components equal axis_w * qd
-                w_b = axis_w * state.qd[o]
+                # the axis is invariant under its own rotation: body-frame
+                # w = axis * qd in the LINK frame
+                w_b = a * state.qd[o]
                 w.append(w_b)
                 v.append(jnp.cross(w_b, com))
             elif b.jtype == "prismatic":
@@ -416,18 +420,33 @@ class RigidModel:
         g = jnp.asarray(self.gravity, self.dtype)
         dt = self.dt
 
+        # every primitive's MEASURED wrench is gated by its own ext-force
+        # flag exactly once, up front; nothing below re-masks (floor-penalty
+        # wrenches added later are intentionally not gated — matching the
+        # fast path, where the floor acts regardless of the flag)
+        if any(not b.gravity_on for b in self.bodies):
+            mask = jnp.asarray([1.0 if b.gravity_on else 0.0
+                                for b in self.bodies], self.dtype)
+            ext_f = ext_f * mask[:, None]
+
         weld_slots = [s for s, b in enumerate(self.bodies)
                       if b.jtype == "weld"]
+        need_states = bool(weld_slots) or (self.enable_floor
+                                           and bool(self._chains))
+        bs = self.body_states(state) if need_states else None
         if weld_slots:
-            # contact wrenches on welded primitives act on the composite
-            # body: shift each to the parent's origin ([f, t + r x f]) and
-            # zero the weld row (welds have no dynamics of their own)
-            bs = self.body_states(state)
+            # contact (and floor) wrenches on welded primitives act on the
+            # composite body: shift each to the parent's origin
+            # ([f, t + r x f]) and zero the weld row (welds have no
+            # dynamics of their own)
             for s in weld_slots:
                 p = self.bodies[s].weld_parent
-                on = self.bodies[s].gravity_on
-                f = jnp.where(on, ext_f[s, :3], jnp.zeros(3, self.dtype))
-                t = jnp.where(on, ext_f[s, 3:], jnp.zeros(3, self.dtype))
+                f, t = ext_f[s, :3], ext_f[s, 3:]
+                if self.enable_floor:
+                    f_fl, t_fl = self._floor_wrench(
+                        self.bodies[s], *self._world_state_of(bs, s))
+                    f = f + f_fl
+                    t = t + t_fl
                 r = bs.pos[s] - bs.pos[p]
                 ext_f = (ext_f.at[p, :3].add(f)
                          .at[p, 3:].add(t + jnp.cross(r, f))
@@ -435,8 +454,8 @@ class RigidModel:
 
         for i, b in enumerate(self.bodies):
             o = b.q_offset
-            f_ext = jnp.where(b.gravity_on, ext_f[i, :3], jnp.zeros(3, self.dtype))
-            t_ext = jnp.where(b.gravity_on, ext_f[i, 3:], jnp.zeros(3, self.dtype))
+            f_ext = ext_f[i, :3]
+            t_ext = ext_f[i, 3:]
 
             if b.jtype == "floating":
                 exp, pos = q[o:o + 3], q[o + 3:o + 6]
@@ -481,7 +500,11 @@ class RigidModel:
                 # (body origin == joint origin for the reference's URDFs)
                 tau = action[o] + jnp.dot(axis_w, t_ext)
                 if b.gravity_on:
-                    bq = Q.w2quat(axis_w * q[o])
+                    a = jnp.asarray(b.axis / np.linalg.norm(b.axis),
+                                    self.dtype)
+                    bq = Q.qmul(Q.mat2quat(jnp.asarray(b.joint_rot,
+                                                       self.dtype)),
+                                Q.w2quat(a * q[o]))
                     com_w = Q.qrot(bq, jnp.asarray(b.com, self.dtype))
                     tau = tau + jnp.dot(axis_w, jnp.cross(com_w, b.mass * g))
                 # parallel axis: URDF inertia is about the COM; the joint
@@ -516,10 +539,13 @@ class RigidModel:
             rows = []
             for m, s in enumerate(spec["slots"]):
                 b = self.bodies[s]
-                fe = jnp.where(b.gravity_on, ext_f[s, :3],
-                               jnp.zeros(3, self.dtype))
-                te = jnp.where(b.gravity_on, ext_f[s, 3:],
-                               jnp.zeros(3, self.dtype))
+                fe = ext_f[s, :3]
+                te = ext_f[s, 3:]
+                if self.enable_floor:
+                    f_fl, t_fl = self._floor_wrench(
+                        b, *self._world_state_of(bs, s))
+                    fe = fe + f_fl
+                    te = te + t_fl
                 if ch.joints[m].jtype == "floating":
                     # free-joint actions are world wrenches at the body
                     # origin ([torque(3), force(3)], matching the fast
@@ -552,6 +578,14 @@ class RigidModel:
         return qd_new, q_new
 
     # ------------------------------------------------------------------
+    def _world_state_of(self, bs: BodyState, s: int):
+        """(pos, quat, world v-at-origin, world w) of body slot s, recovered
+        from body_states' stored body-frame COM spatial velocity."""
+        com = jnp.asarray(self.bodies[s].com, self.dtype)
+        w_w = Q.qrot(bs.quat[s], bs.w[s])
+        v_w = Q.qrot(bs.quat[s], bs.v[s] - jnp.cross(bs.w[s], com))
+        return bs.pos[s], bs.quat[s], v_w, w_w
+
     def _floor_wrench(self, b: _BodyDef, pos, bq, v, w):
         """Spring-damper floor penalty at precomputed support points."""
         pts = jnp.asarray(b.support_points, self.dtype)  # (K,3)

@@ -623,14 +623,8 @@ def test_gradients_through_floating_base_match_finite_differences():
         np.testing.assert_allclose(g[i], fd, rtol=2e-5, atol=1e-10)
 
 
-def test_urdf_floating_base_tree(tmp_path):
-    """URDF with a floating base link carrying a revolute arm: detected as
-    one 7-dof tree; started with internal spin, the COM still free-falls
-    ballistically (internal dynamics cannot move the COM)."""
-    from softmac_tpu.config.node import CN
-    from softmac_tpu.engine.meshio import load_urdf
-    from softmac_tpu.engine.rigid import RigidModel, RigidState
-
+def _flybot_urdf(tmp_path):
+    """Floating base link carrying a revolute arm."""
     obj = tmp_path / "tip.obj"
     lo, hi = -0.01, 0.01
     verts = [(x, y, z) for x in (lo, hi) for y in (lo, hi) for z in (lo, hi)]
@@ -668,14 +662,34 @@ def test_urdf_floating_base_tree(tmp_path):
   </link>
 </robot>
 """)
+    return urdf
+
+
+def _flybot_cfg(init_state, enable_floor=False):
+    from softmac_tpu.config.node import CN
     cfg = CN()
     cfg.gravity = (0.0, -G, 0.0)
-    cfg.init_state = (0.0,) * 6 + (0.8,) + (0.0,) * 6 + (2.0,)
-    cfg.enable_floor = False
+    cfg.init_state = init_state
+    cfg.enable_floor = enable_floor
     cfg.floor_height = -0.08
     cfg.floor_stiffness = 1e4
     cfg.floor_damping = 10.0
     cfg.ext_grad_scale = 1.0
+    return cfg
+
+
+def test_urdf_floating_base_tree(tmp_path):
+    """URDF with a floating base link carrying a revolute arm: detected as
+    one 7-dof tree; started with internal spin, the COM still free-falls
+    ballistically (internal dynamics cannot move the COM)."""
+    from softmac_tpu.engine.meshio import load_urdf
+    from softmac_tpu.engine.rigid import RigidModel, RigidState
+
+    urdf = _flybot_urdf(tmp_path)
+    # free-joint q is the WORLD pose (the URDF <origin> is ignored, same as
+    # the fast path): place the base explicitly
+    cfg = _flybot_cfg((0.0, 0.0, 0.0, 0.5, 0.5, 0.5, 0.8)
+                      + (0.0,) * 6 + (2.0,))
 
     dt = 1e-4
     m = RigidModel([load_urdf(urdf)], cfg, env_dt=dt, dtype=jnp.float64)
@@ -771,3 +785,82 @@ def test_body_states_convention():
         got = Q.qrot(quat[i], vb[i])   # body -> world (collider convention)
         np.testing.assert_allclose(np.asarray(got), np.asarray(v_com_w[i]),
                                    atol=1e-12)
+
+
+def test_floating_chain_floor_penalty(tmp_path):
+    """A free-flying articulated assembly dropped above the floor must NOT
+    fall through it when RIGID.enable_floor is on (the floor wrench routes
+    through the tree's wrench rows)."""
+    from softmac_tpu.engine.meshio import load_urdf
+    from softmac_tpu.engine.rigid import RigidModel
+
+    urdf = _flybot_urdf(tmp_path)
+    cfg = _flybot_cfg((0.0, 0.0, 0.0, 0.5, 0.0, 0.5, 0.05) + (0.0,) * 7,
+                      enable_floor=True)
+    m = RigidModel([load_urdf(urdf)], cfg, env_dt=1e-3, dtype=jnp.float64)
+    m.floor_damping = 100.0
+    s = m.init_state()
+    step = jax.jit(lambda s: m.step(s, None, jnp.zeros((2, 6), jnp.float64)))
+    import jax.lax as lax
+    s = lax.fori_loop(0, 4000, lambda i, s: step(s), s)
+    assert np.isfinite(np.asarray(s.q)).all()
+    # the base's mesh bottom must rest near the floor plane, not below it
+    bottom = float(s.q[4]) + m.bodies[0].support_points[:, 1].min()
+    assert bottom > m.floor_height - 0.05, bottom
+    assert abs(float(s.qd[4])) < 0.5
+
+
+def test_adjust_action_holds_floating_chain(tmp_path):
+    """adjust_action_with_ext_force must compensate gravity for a floating
+    CHAIN root (carrying the whole assembly's weight), not just fast-path
+    floating bodies: with the adjusted action the COM barely falls, without
+    it the assembly free-falls."""
+    from softmac_tpu import SoftMacEnv, get_cfg_defaults
+    from softmac_tpu.config.node import CN
+
+    _arm_obj(tmp_path)   # unused mesh, keeps tmp layout uniform
+    urdf = _flybot_urdf(tmp_path)
+
+    cfg = get_cfg_defaults()
+    cfg.control_mode = "rigid"
+    cfg.env_dt = 1e-3
+    cfg.SIMULATOR.dt = 1e-3
+    cfg.SIMULATOR.ptype = 1
+    cfg.SIMULATOR.material_model = 0
+    cfg.SIMULATOR.E = 50.0
+    cfg.SIMULATOR.collision_type = 2
+    # tiny blob far from the assembly: no contact, pure gravity test
+    cfg.SHAPES = [{"shape": "box", "width": (0.04, 0.04, 0.04),
+                   "init_pos": [0.15, 0.8, 0.15], "n_particles": 64,
+                   "color": 0, "init_rot": None}]
+    prim = CN()
+    prim.friction = 0.1
+    prim.urdf_path = str(urdf)
+    prim.enable_external_force = True
+    cfg.PRIMITIVES = [prim]
+    cfg.RIGID.gravity = (0.0, -G, 0.0)
+    cfg.RIGID.enable_floor = False
+    cfg.RIGID.init_state = (0.0, 0.0, 0.0, 0.5, 0.5, 0.5, 0.0) + (0.0,) * 7
+    cfg.TPU.active_window = (16, 16, 16)
+
+    env = SoftMacEnv(cfg, loss=False)
+    T = 20
+    actions = np.zeros((T, env.action_dim))
+    adj = env.adjust_action_with_ext_force(actions)
+    # base force rows compensate the TOTAL assembly weight (0.5 + 0.2)
+    np.testing.assert_allclose(adj[:, 4], 0.7 * G, rtol=1e-6)
+
+    env.reset()
+    for a in adj:
+        env.step(a)
+    y_held = float(env._carry[2].q[4])
+    env.reset()
+    for a in actions:
+        env.step(a)
+    y_free = float(env._carry[2].q[4])
+    # compensation holds the assembly (small residual motion remains: the
+    # force acts at the base origin, so it exerts torque about the COM —
+    # identical behavior to the fast path's free-body compensation)
+    drop_free = abs(y_free - 0.5)
+    assert drop_free > 1e-3                   # free-fell without adjustment
+    assert abs(y_held - 0.5) < 0.25 * drop_free

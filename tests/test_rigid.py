@@ -364,3 +364,93 @@ def test_weld_wrench_folds_to_parent(tmp_path):
     I_axis = m1 * L1 ** 2 + m2 * L ** 2
     np.testing.assert_allclose(float(s.qd[0]), dt * L * fx / I_axis,
                                rtol=1e-9)
+
+
+def test_revolute_with_origin_rpy_body_frame(tmp_path):
+    """A hinge whose URDF <origin rpy> != 0: the exported body rotation must
+    be joint_rot @ R(axis*q) (the old R(axis_w*q) form is off by a
+    joint_rot similarity), and the settled equilibrium under gravity +
+    damping must minimize the COM's potential energy on the tilted circle."""
+    obj = tmp_path / "box.obj"
+    lo, hi = -0.01, 0.01
+    verts = [(x, y, z) for x in (lo, hi) for y in (lo, hi) for z in (lo, hi)]
+    lines = [f"v {x} {y} {z}" for x, y, z in verts]
+    lines += ["f 1 2 4 3", "f 5 7 8 6", "f 1 5 6 2",
+              "f 3 4 8 7", "f 1 3 7 5", "f 2 6 8 4"]
+    obj.write_text("\n".join(lines) + "\n")
+    rx = 0.5236  # 30 deg about x
+    urdf = tmp_path / "tilt.urdf"
+    urdf.write_text(f"""<?xml version="1.0"?>
+<robot name="tilt">
+  <link name="world"/>
+  <joint name="j" type="revolute">
+    <parent link="world"/> <child link="arm"/>
+    <origin xyz="0 0 0" rpy="{rx} 0 0"/> <axis xyz="0 0 1"/>
+  </joint>
+  <link name="arm">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0.08 0 0"/>
+      <mass value="0.2"/>
+      <inertia ixx="1e-5" ixy="0" ixz="0" iyy="1e-5" iyz="0" izz="1e-5"/>
+    </inertial>
+    <collision><geometry><mesh filename="box.obj"/></geometry></collision>
+  </link>
+</robot>
+""")
+    cfg = rigid_cfg(init_state=(0.3, 0.0))
+    cfg.joint_damping = 2e-3
+    m = RigidModel([load_urdf(urdf)], cfg, env_dt=1e-3, dtype=jnp.float64)
+
+    def Rx(a):
+        return np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)],
+                         [0, np.sin(a), np.cos(a)]])
+
+    def Rz(a):
+        return np.array([[np.cos(a), -np.sin(a), 0],
+                         [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+
+    # exported orientation composes the static joint rotation
+    from softmac_tpu.engine import quat as Q
+    th = 0.3
+    b = m.body_states(RigidState(q=jnp.asarray([th]), qd=jnp.asarray([0.7])))
+    R_w = np.asarray(Q.quat2mat(jnp.asarray(b.quat[0])))
+    np.testing.assert_allclose(R_w, Rx(rx) @ Rz(th), atol=1e-12)
+    # body-frame angular velocity is along the LINK-frame axis
+    np.testing.assert_allclose(np.asarray(b.w[0]), [0, 0, 0.7], atol=1e-12)
+
+    # settle with damping; equilibrium must minimize PE over the hinge circle
+    s = m.init_state()
+    step = jax.jit(lambda s: m.step(s, None, jnp.zeros((1, 6), jnp.float64)))
+    import jax.lax as lax
+    s = lax.fori_loop(0, 20000, lambda i, s: step(s), s)
+    com = np.array([0.08, 0.0, 0.0])
+    grid = np.linspace(-np.pi, np.pi, 20001)
+    pe = [-(Rx(rx) @ Rz(t) @ com)[1] * (-9.8) for t in grid]
+    th_star = grid[int(np.argmin(pe))]
+    assert abs(float(s.qd[0])) < 1e-3          # settled
+    np.testing.assert_allclose(float(s.q[0]), th_star, atol=2e-3)
+
+
+def test_weld_ext_force_flags_per_primitive(tmp_path):
+    """Each primitive's measured wrench is gated by ITS OWN flag: contact on
+    an enabled weld drives the (flag-disabled) carrier, and a disabled weld
+    contributes nothing even when the carrier is enabled."""
+    m1, L1, m2, L = 0.3, 0.1, 0.15, 0.2
+    dt = 1e-4
+    urdf = _welded_pendulum_urdf(tmp_path, m1, L1, m2, L)
+    cfg = rigid_cfg(init_state=(0.0, 0.0), gravity=(0.0, 0.0, 0.0))
+    fx = 0.8
+    ext = jnp.zeros((2, 6), jnp.float64).at[1, 0].set(fx)
+    I_axis = m1 * L1 ** 2 + m2 * L ** 2
+    s0 = RigidState(q=jnp.asarray([0.0]), qd=jnp.asarray([0.0]))
+
+    m = RigidModel([urdf], cfg, env_dt=dt, dtype=jnp.float64,
+                   ext_force_flags=(False, True))
+    s = m.step(s0, None, ext)
+    np.testing.assert_allclose(float(s.qd[0]), dt * L * fx / I_axis,
+                               rtol=1e-9)
+
+    m = RigidModel([urdf], cfg, env_dt=dt, dtype=jnp.float64,
+                   ext_force_flags=(True, False))
+    s = m.step(s0, None, ext)
+    np.testing.assert_allclose(float(s.qd[0]), 0.0, atol=1e-15)
