@@ -74,6 +74,8 @@ RENDERER.light_rot = (-math.pi / 4, 0)
 RENDERER.camera_pos = (0.5, 0.8, 2.8)
 RENDERER.camera_rot = (-0.2, 0)
 RENDERER.image_res = (512, 512)
+RENDERER.ssaa = 2        # supersampling factor (1 disables)
+RENDERER.shadows = True  # projected floor shadows
 
 # ---------------------------------------------------------------------------- #
 # Env / loss

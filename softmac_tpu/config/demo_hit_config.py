@@ -85,6 +85,7 @@ CLOTH.velocity_damping = 0.05
 _C.RENDERER = RENDERER = CN()
 RENDERER.mode = "rgb_array"
 RENDERER.image_res = (1024, 1024)  # soft_cloth renderer default
+RENDERER.ssaa = 1   # already 1024^2; skip 2048^2 rasters
 RENDERER.light_rot = (-1 * math.pi / 4, 0)
 RENDERER.camera_pos = (2.2, 0.8, 1.1)
 RENDERER.camera_rot = (-0.2, math.pi * 3 / 8)

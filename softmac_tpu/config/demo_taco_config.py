@@ -75,6 +75,7 @@ CLOTH.transform = [{
 _C.RENDERER = RENDERER = CN()
 RENDERER.mode = "rgb_array"
 RENDERER.image_res = (1024, 1024)  # soft_cloth renderer default
+RENDERER.ssaa = 1   # already 1024^2; skip 2048^2 rasters
 RENDERER.light_rot = (-1 * math.pi / 4, 0)
 RENDERER.camera_pos = (4.5, 4.2, 10.8)
 RENDERER.camera_rot = (-0.2, 0.24)

@@ -10,6 +10,18 @@ sharp-edged rigid meshes, Gouraud-interpolated from area-weighted vertex
 normals for cloth (pyrender-style smooth look) — checkerboard floor, and
 target-geometry overlays. Resolution comes from RENDERER.image_res
 (default 512x512; the cloth demo configs set 1024).
+
+Visual parity extras over the bare rasterizer (the reference's pyrender
+output is lit by a directional light with raytraced-looking contact
+shadows from the EGL shadow map):
+- soft floor shadows: every opaque caster (rigid meshes, cloth, particles)
+  is projected along the light direction onto the floor plane and
+  accumulated into a boolean mask; masked floor pixels are darkened once
+  (no double-darkening where casters overlap). Gate: RENDERER.shadows
+  (default on; off automatically when the light is near-horizontal).
+- 2x supersampling AA: the frame is rasterized at 2x resolution and
+  box-downsampled. Gate: RENDERER.ssaa (default 2; set 1 to disable —
+  the 1024^2 cloth configs may prefer 1 for render speed).
 """
 from __future__ import annotations
 
@@ -37,7 +49,10 @@ class PointRenderer:
     def __init__(self, cfg, env, res=(512, 512)):
         self.cfg = cfg
         self.env = env
-        self.res = tuple(cfg.get("image_res", res))
+        self.out_res = tuple(cfg.get("image_res", res))
+        self.ssaa = max(int(cfg.get("ssaa", 2)), 1)
+        self.res = tuple(r * self.ssaa for r in self.out_res)
+        self.shadows = bool(cfg.get("shadows", True))
         self.camera_pos = np.asarray(cfg.camera_pos, np.float64)
         pitch, yaw = cfg.camera_rot
         self.R = _rot_xy(pitch, yaw)        # camera-to-world
@@ -137,6 +152,84 @@ class PointRenderer:
                 img[gy[sel], gx[sel]] = (
                     alpha * base * sh + (1 - alpha) * img[gy[sel], gx[sel]])
 
+    # ------------------------------------------------------------------
+    # floor shadows
+    # ------------------------------------------------------------------
+    def _shadow_light(self):
+        """Downward light direction for shadow projection, or None when the
+        light is too close to horizontal for a sane floor projection."""
+        L = self.light_dir
+        if abs(L[1]) < 0.2:
+            return None
+        return L if L[1] < 0 else -L
+
+    def _flatten_to_floor(self, pts, L):
+        """Project world points along L onto the floor plane. Returns the
+        flattened points and a mask of points that actually cast (above the
+        floor, so the projection runs along +L)."""
+        t = (self.floor_y - pts[:, 1]) / L[1]
+        out = pts + t[:, None] * L
+        out[:, 1] = self.floor_y
+        return out, t > 0
+
+    def _mask_triangles(self, mask, verts, faces):
+        """Rasterize screen-projected triangles into a boolean mask (no
+        depth, no shading — shadow silhouettes)."""
+        h, w = self.res[1], self.res[0]
+        sx, sy, _, valid = self._project(verts)
+        for t in range(len(faces)):
+            i0, i1, i2 = faces[t]
+            if not (valid[i0] and valid[i1] and valid[i2]):
+                continue
+            xs = np.array([sx[i0], sx[i1], sx[i2]])
+            ys = np.array([sy[i0], sy[i1], sy[i2]])
+            x0, x1 = int(max(xs.min(), 0)), int(min(xs.max(), w - 1)) + 1
+            y0, y1 = int(max(ys.min(), 0)), int(min(ys.max(), h - 1)) + 1
+            if x0 >= x1 or y0 >= y1:
+                continue
+            gx, gy = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
+            d = (ys[1] - ys[2]) * (xs[0] - xs[2]) \
+                + (xs[2] - xs[1]) * (ys[0] - ys[2])
+            if abs(d) < 1e-12:
+                continue
+            w0 = ((ys[1] - ys[2]) * (gx - xs[2])
+                  + (xs[2] - xs[1]) * (gy - ys[2])) / d
+            w1 = ((ys[2] - ys[0]) * (gx - xs[2])
+                  + (xs[0] - xs[2]) * (gy - ys[2])) / d
+            w2 = 1 - w0 - w1
+            mask[gy, gx] |= (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+
+    def _mask_points(self, mask, pts, size=1):
+        h, w = self.res[1], self.res[0]
+        sx, sy, _, valid = self._project(pts)
+        xi, yi = sx.astype(int), sy.astype(int)
+        ok = valid & (xi >= 0) & (xi < w - size) & (yi >= 0) & (yi < h - size)
+        xi, yi = xi[ok], yi[ok]
+        for dy in range(size + 1):
+            for dx in range(size + 1):
+                mask[yi + dy, xi + dx] = True
+
+    def _apply_shadows(self, img, mesh_casters, point_casters, psize):
+        """Darken floor pixels covered by the light-projected silhouettes of
+        the casters. Applied once through a boolean mask, so overlapping
+        casters do not double-darken. Runs right after the floor draw (only
+        floor/background pixels exist yet; geometry overdraws later)."""
+        L = self._shadow_light()
+        if L is None:
+            return
+        h, w = self.res[1], self.res[0]
+        mask = np.zeros((h, w), bool)
+        for verts, faces in mesh_casters:
+            flat, cast = self._flatten_to_floor(verts, L)
+            keep = cast[faces].all(axis=1)
+            if keep.any():
+                self._mask_triangles(mask, flat, faces[keep])
+        for pts in point_casters:
+            flat, cast = self._flatten_to_floor(np.asarray(pts, np.float64), L)
+            if cast.any():
+                self._mask_points(mask, flat[cast], size=psize)
+        img[mask] *= 0.62
+
     def _draw_floor(self, img, depth):
         """Checkerboard ground plane via per-pixel ray casting."""
         h, w = self.res[1], self.res[0]
@@ -164,6 +257,7 @@ class PointRenderer:
     def render(self, particles_x, particle_colors, bodies=None,
                cloth=None, extra_points=None):
         h, w = self.res[1], self.res[0]
+        s = self.ssaa
         img = np.full((h, w, 3), np.array([0.86, 0.9, 0.96]), np.float64)
         depth = np.full((h, w), np.inf)
 
@@ -172,7 +266,7 @@ class PointRenderer:
         # opaque meshes first, then particles, then transparent meshes
         # blended on top (so liquid shows through e.g. the glass, which the
         # reference renders at alpha 0.8)
-        transparent = []
+        opaque, transparent = [], []
         if bodies is not None and len(self.prim_meshes) > 0:
             import jax.numpy as jnp
             pos = np.asarray(bodies.pos)
@@ -184,9 +278,21 @@ class PointRenderer:
                     else np.array([0.6, 0.6, 0.65, 1.0])
                 alpha = float(color[3]) if len(color) > 3 else 1.0
                 if alpha >= 0.999:
-                    self._raster_mesh(img, depth, world, faces, color)
+                    opaque.append((world, faces, color))
                 else:
                     transparent.append((world, faces, color, alpha))
+
+        if self.shadows:
+            casters = [(wld, fcs) for wld, fcs, _ in opaque]
+            if cloth is not None:
+                casters.append((np.asarray(cloth[0]),
+                                np.asarray(cloth[1])))
+            pts = ([np.asarray(particles_x)]
+                   if particles_x is not None and len(particles_x) > 0 else [])
+            self._apply_shadows(img, casters, pts, psize=s)
+
+        for world, faces, color in opaque:
+            self._raster_mesh(img, depth, world, faces, color)
 
         if cloth is not None:
             verts, faces = cloth
@@ -196,7 +302,7 @@ class PointRenderer:
         if self._target is not None:
             tpts, _ = self._target
             tcols = np.tile([[0.35, 0.75, 0.35]], (len(tpts), 1))
-            self._splat_points(img, depth, tpts, tcols, size=0)
+            self._splat_points(img, depth, tpts, tcols, size=s - 1)
 
         if particles_x is not None and len(particles_x) > 0:
             cols = particle_colors
@@ -204,11 +310,14 @@ class PointRenderer:
                 cols = int_color_to_rgb(cols)
             elif cols is None:
                 cols = np.tile([[0.2, 0.3, 0.8]], (len(particles_x), 1))
-            self._splat_points(img, depth, np.asarray(particles_x), np.asarray(cols))
+            self._splat_points(img, depth, np.asarray(particles_x),
+                               np.asarray(cols), size=2 * s - 1)
 
         for world, faces, color, alpha in transparent:
             self._raster_mesh(img, depth, world, faces, color, alpha=alpha)
 
+        if s > 1:
+            img = img.reshape(h // s, s, w // s, s, 3).mean(axis=(1, 3))
         return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
     def initialize(self):

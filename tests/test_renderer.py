@@ -13,13 +13,17 @@ from softmac_tpu.engine.meshgen import generate_disk
 from softmac_tpu.engine.renderer import PointRenderer
 
 
-def _renderer(res=192):
+def _renderer(res=192, ssaa=1, shadows=False):
+    # legacy contract tests pin the raw rasterizer (ssaa=1, no shadows);
+    # the AA/shadow contracts are tested separately below
     cfg = CN()
     cfg.mode = "rgb_array"
     cfg.light_rot = (-math.pi / 4, 0.0)
     cfg.camera_pos = (0.5, 0.6, 1.5)
     cfg.camera_rot = (-0.25, 0.0)
     cfg.image_res = (res, res)
+    cfg.ssaa = ssaa
+    cfg.shadows = shadows
     return PointRenderer(cfg, None)
 
 
@@ -86,3 +90,63 @@ def test_target_overlay():
     img = r.render(np.zeros((0, 3)), None, None)
     greenish = (img[..., 1] > 150) & (img[..., 0] < 120)
     assert greenish.sum() >= 1
+
+
+class _B:  # minimal BodyState stand-in
+    pos = np.array([[0.0, 0.0, 0.0]])
+    quat = np.array([[1.0, 0.0, 0.0, 0.0]])
+
+
+def test_ssaa_smooths_edges():
+    """2x supersampling: output res unchanged, and mesh silhouette edges
+    gain intermediate values (more unique blues than the flat raster)."""
+    verts, faces = _box([0.5, 0.35, 0.5])
+    imgs = {}
+    for ssaa in (1, 2):
+        r = _renderer(ssaa=ssaa)
+        r.prim_meshes = [(verts, faces)]
+        r.prim_colors = [np.array([0.2, 0.4, 0.9, 1.0])]
+        imgs[ssaa] = r.render(np.zeros((0, 3)), None, _B())
+    assert imgs[2].shape == imgs[1].shape == (192, 192, 3)
+    blue1 = (imgs[1][..., 2] > 120) & (imgs[1][..., 0] < 120)
+    blue2 = (imgs[2][..., 2] > 120) & (imgs[2][..., 0] < 120)
+    # similar coverage, but anti-aliased edges add intermediate shades
+    assert abs(int(blue2.sum()) - int(blue1.sum())) < 0.2 * blue1.sum()
+    assert len(np.unique(imgs[2][..., 2][blue2])) \
+        > len(np.unique(imgs[1][..., 2][blue1]))
+
+
+def test_floor_shadows():
+    """A box above the floor darkens a patch of floor pixels on its
+    light-projected silhouette; the scene without shadows does not."""
+    verts, faces = _box([0.5, 0.25, 0.5], half=0.08)
+    imgs = {}
+    for shadows in (False, True):
+        r = _renderer(shadows=shadows)
+        r.prim_meshes = [(verts, faces)]
+        r.prim_colors = [np.array([0.2, 0.4, 0.9, 1.0])]
+        imgs[shadows] = r.render(np.zeros((0, 3)), None, _B())
+    a = imgs[False].astype(int)
+    b = imgs[True].astype(int)
+    darker = (a[..., 0] - b[..., 0]) > 20
+    assert darker.sum() > 30          # a visible shadow patch
+    # the shadow must fall on floor pixels only (gray checker, not sky blue)
+    assert (a[..., 2][darker] - a[..., 0][darker]).mean() < 10
+
+
+def test_shadow_skipped_for_horizontal_light():
+    verts, faces = _box([0.5, 0.25, 0.5])
+    cfg = CN()
+    cfg.mode = "rgb_array"
+    cfg.light_rot = (0.0, 0.0)        # light along -z: no floor projection
+    cfg.camera_pos = (0.5, 0.6, 1.5)
+    cfg.camera_rot = (-0.25, 0.0)
+    cfg.image_res = (192, 192)
+    cfg.ssaa = 1
+    cfg.shadows = True
+    r = PointRenderer(cfg, None)
+    assert r._shadow_light() is None
+    r.prim_meshes = [(verts, faces)]
+    r.prim_colors = [np.array([0.2, 0.4, 0.9, 1.0])]
+    img = r.render(np.zeros((0, 3)), None, _B())   # must not raise
+    assert img.shape == (192, 192, 3)
