@@ -273,8 +273,15 @@ class SoftMacEnv:
         self._overflow_warned = False
         self.keep_history = True
         self._jit_cache = {}
-        self._step_jit = jax.jit(self._env_step_fn)
+        self._step_jit = self._make_step_jit()
         self.reset()
+
+    def _make_step_jit(self):
+        # prims/params ride as traced jit ARGUMENTS (not closure constants):
+        # the SDF tables are tens of MB per primitive and would otherwise be
+        # embedded in every compiled step/rollout executable
+        return jax.jit(lambda c, a, prims, params: self._env_step_fn(
+            c, a, params=params, prims=prims))
 
     # ==================================================================
     # scene helpers
@@ -296,9 +303,8 @@ class SoftMacEnv:
     def set_control_idx(self, idx: np.ndarray):
         self.mpm_params = self.mpm_params.replace(
             control_idx=jnp.asarray(idx, jnp.int32))
-        # params are closed over by the jitted functions — rebuild them
         self._jit_cache.clear()
-        self._step_jit = jax.jit(self._env_step_fn)
+        self._step_jit = self._make_step_jit()
 
     # ==================================================================
     # initial state
@@ -351,8 +357,15 @@ class SoftMacEnv:
     # ==================================================================
     # one env step (used by both the facade and the rollout)
     # ==================================================================
-    def _env_step_fn(self, carry, action, params=None, assume_sorted=False):
-        """(carry, action) -> (carry, (overflow, ext_f))."""
+    def _env_step_fn(self, carry, action, params=None, assume_sorted=False,
+                     prims=None):
+        """(carry, action) -> (carry, (overflow, ext_f)).
+
+        ``params``/``prims`` default to the env's own (concrete) arrays;
+        jitted callers pass them as TRACED arguments instead so the SDF
+        tables (tens of MB per primitive) are not baked into every compiled
+        program as constants (compile-time, executable-size, and
+        persistent-cache bloat)."""
         if self.has_cloth:
             return self._env_step_cloth(carry, action)
         mpm, bodies, rigid = carry
@@ -370,11 +383,12 @@ class SoftMacEnv:
         # the chunked Pallas kernels engage. Standalone callers (step(),
         # sharding, policy) use the default original-order path.
         params = self.mpm_params if params is None else params
+        prims = self.prims if prims is None else prims
 
         def sub(c, k):
             mpm_s, bod = c
             mpm_s, extf, aux = mpm_mod.substep(
-                cfg, params, self.prims, mpm_s, bod, k, mpm_action,
+                cfg, params, prims, mpm_s, bod, k, mpm_action,
                 axis_name=self.particle_axis_name,
                 assume_sorted=assume_sorted)
             if self.rigid_vel_model is not None:
@@ -465,7 +479,7 @@ class SoftMacEnv:
         elif mode == "cloth":
             self.action_dim = 3 * len(self.cloth_model.attachment_idx)
         self._jit_cache.clear()
-        self._step_jit = jax.jit(self._env_step_fn)
+        self._step_jit = self._make_step_jit()
 
     def set_primitives_contact(self, flags):
         """Enable/disable contact per primitive (the reference's
@@ -474,14 +488,15 @@ class SoftMacEnv:
         self.mpm_cfg = dataclasses.replace(
             self.mpm_cfg, primitives_contact=tuple(bool(f) for f in flags))
         self._jit_cache.clear()
-        self._step_jit = jax.jit(self._env_step_fn)
+        self._step_jit = self._make_step_jit()
 
     def step(self, action=None):
         if action is None:
             action = np.zeros((max(self.action_dim, 1),))
         action = jnp.asarray(np.asarray(action, np.float64), self.dtype)
         self.action_list.append(np.asarray(action))
-        self._carry, (_, ext_f) = self._step_jit(self._carry, action)
+        self._carry, (_, ext_f) = self._step_jit(self._carry, action,
+                                         self.prims, self.mpm_params)
         self.last_ext_f = ext_f
         self.cur += self.substeps
         if self.keep_history:
@@ -587,13 +602,13 @@ class SoftMacEnv:
         g = jnp.asarray(model.gravity, self.dtype)
         cfg = self.mpm_cfg
 
-        def env_step(carry, action):
+        def env_step(prims, params, carry, action):
             mpm, bodies, rigid = carry
             bodies_c = grad_scale(bodies, self.ext_grad_scale)
 
             def sub(c, k):
                 mpm_s, extf, aux = mpm_mod.substep(
-                    cfg, self.mpm_params, self.prims, c, bodies_c, k, None)
+                    cfg, params, prims, c, bodies_c, k, None)
                 return mpm_s, extf
 
             mpm, extf = jax.lax.scan(sub, mpm, jnp.arange(cfg.substeps))
@@ -638,8 +653,10 @@ class SoftMacEnv:
             bodies = model.body_states(rigid)
             return (mpm, bodies, rigid), adj
 
-        fn = jax.jit(lambda c0, a: jax.lax.scan(env_step, c0, a)[1])
-        adjusted = fn(self._initial_carry(), jnp.asarray(actions, self.dtype))
+        fn = jax.jit(lambda c0, a, prims, params: jax.lax.scan(
+            functools.partial(env_step, prims, params), c0, a)[1])
+        adjusted = fn(self._initial_carry(), jnp.asarray(actions, self.dtype),
+                      self.prims, self.mpm_params)
         return np.asarray(adjusted)
 
     # ==================================================================
@@ -673,15 +690,20 @@ class SoftMacEnv:
         use_sort = (not self.has_cloth) and mpm_mod.sorted_transfers_wanted(
             self.mpm_cfg, self.dtype)
 
+        # prims/params enter as traced arguments of the jitted rollout (not
+        # closure constants — see _env_step_fn); the scan bodies bind them
+        # via functools.partial so lax.scan hoists them as loop invariants.
         if use_sort:
-            def env_step_s(c, a):
+            def env_step_s(prims, params, c, a):
                 core, params_s, perm = c
                 core, out = self._env_step_fn(
-                    core, a, params=params_s, assume_sorted=True)
+                    core, a, params=params_s, assume_sorted=True, prims=prims)
                 return (core, params_s, perm), out
             env_step = jax.checkpoint(env_step_s)
         else:
-            env_step = jax.checkpoint(self._env_step_fn)
+            def env_step_d(prims, params, c, a):
+                return self._env_step_fn(c, a, params=params, prims=prims)
+            env_step = jax.checkpoint(env_step_d)
 
         def _resort(carry):
             core, params_s, perm = carry
@@ -691,7 +713,7 @@ class SoftMacEnv:
             return ((mpm_mod.permute_state(mpm, q), bodies, rigid),
                     mpm_mod.permute_params(params_s, q), perm[q])
 
-        def block_fn(carry, action_block):
+        def block_fn(prims, params, carry, action_block):
             if grad_clip is not None:
                 if use_sort:
                     core, params_s, perm = carry
@@ -701,7 +723,9 @@ class SoftMacEnv:
                     carry = clip_cotangent(carry, float(grad_clip))
             if use_sort:
                 carry = _resort(carry)
-            carry, (ovf, _) = jax.lax.scan(env_step, carry, action_block)
+            carry, (ovf, _) = jax.lax.scan(
+                functools.partial(env_step, prims, params),
+                carry, action_block)
             if self.has_cloth:
                 mpm, cloth, _ = carry
                 sample = FrameSample(x=mpm.x_nd, bodies=None,
@@ -718,12 +742,11 @@ class SoftMacEnv:
                 sample = FrameSample(x=mpm.x_nd, bodies=bodies)
             return carry, (sample, jnp.any(ovf))
 
-        def _sort_in(carry0):
+        def _sort_in(carry0, params):
             """Original-order carry -> extended carry (identity perm; the
             first block_fn's _resort establishes the sorted order)."""
             n = carry0[0].x.shape[-1]
-            return (carry0, self.mpm_params,
-                    jnp.arange(n, dtype=jnp.int32))
+            return (carry0, params, jnp.arange(n, dtype=jnp.int32))
 
         def _sort_out(carry):
             """Extended sorted carry -> original-order carry (rollout exit)."""
@@ -743,15 +766,19 @@ class SoftMacEnv:
                 seg_blocks -= 1
         n_segments = n_blocks // seg_blocks
 
-        def segment_fn(carry, action_seg):
-            carry, ys = jax.lax.scan(block_fn, carry, action_seg)
+        def segment_fn(prims, params, carry, action_seg):
+            carry, ys = jax.lax.scan(
+                functools.partial(block_fn, prims, params), carry, action_seg)
             return jax.lax.stop_gradient(carry), ys
 
-        def rollout(actions, carry0):
-            carry_run = _sort_in(carry0) if use_sort else carry0
+        def rollout(actions, carry0, prims, params):
+            bf = functools.partial(block_fn, prims, params)
+            carry_run = _sort_in(carry0, params) if use_sort else carry0
             if n_segments > 1:
                 ab = actions.reshape(n_segments, seg_blocks, block, -1)
-                carry, (samples, ovf) = jax.lax.scan(segment_fn, carry_run, ab)
+                carry, (samples, ovf) = jax.lax.scan(
+                    functools.partial(segment_fn, prims, params),
+                    carry_run, ab)
                 samples = jax.tree.map(
                     lambda s: s.reshape((n_blocks,) + s.shape[2:]), samples)
                 ovf = ovf.reshape(-1)
@@ -778,7 +805,7 @@ class SoftMacEnv:
                     carry = _sort_out(carry)
                 return loss_total, (terms_acc, carry)
             ab = actions.reshape(n_blocks, block, -1)
-            carry, (samples, ovf) = jax.lax.scan(block_fn, carry_run, ab)
+            carry, (samples, ovf) = jax.lax.scan(bf, carry_run, ab)
 
             loss_total = jnp.zeros((), self.dtype)
             terms_acc = {"window_overflow": jnp.any(ovf)}
@@ -805,15 +832,17 @@ class SoftMacEnv:
             return loss_total, (terms_acc, carry)
 
         if not with_grad:
-            return jax.jit(jax.vmap(rollout) if batched else rollout)
+            return jax.jit(jax.vmap(rollout, in_axes=(0, 0, None, None))
+                           if batched else rollout)
 
-        def rollout_grad(actions, carry0):
+        def rollout_grad(actions, carry0, prims, params):
             (loss, (terms, carry)), g = jax.value_and_grad(
-                rollout, has_aux=True)(actions, carry0)
+                rollout, has_aux=True)(actions, carry0, prims, params)
             return {"loss": loss, "terms": terms, "carry": carry,
                     "action_grad": g}
 
-        return jax.jit(jax.vmap(rollout_grad) if batched else rollout_grad)
+        return jax.jit(jax.vmap(rollout_grad, in_axes=(0, 0, None, None))
+                       if batched else rollout_grad)
 
     def _get_rollout(self, n_steps, loss_start_frame, loss_stride, with_grad,
                      bptt_window=None, grad_clip=None, batched=False):
@@ -858,7 +887,8 @@ class SoftMacEnv:
                                False, bptt_window, grad_clip)
         ctx = self._maybe_profile()
         with ctx:
-            loss, (terms, carry) = fn(actions, self._initial_carry())
+            loss, (terms, carry) = fn(actions, self._initial_carry(),
+                                      self.prims, self.mpm_params)
             if type(ctx).__name__ != "nullcontext":
                 jax.block_until_ready(loss)  # trace must span the device work
         self._check_overflow(terms)
@@ -871,7 +901,8 @@ class SoftMacEnv:
                                True, bptt_window, grad_clip)
         ctx = self._maybe_profile()
         with ctx:
-            out = fn(actions, self._initial_carry())
+            out = fn(actions, self._initial_carry(), self.prims,
+                     self.mpm_params)
             if type(ctx).__name__ != "nullcontext":
                 jax.block_until_ready(out["loss"])
         self._check_overflow(out["terms"])
@@ -918,7 +949,8 @@ class SoftMacEnv:
         actions = jnp.asarray(actions, self.dtype)
         fn = self._get_rollout(actions.shape[1], loss_start_frame, loss_stride,
                                False, bptt_window, grad_clip, batched=True)
-        loss, (terms, carry) = fn(actions, self._batched_carry(actions, carry0))
+        loss, (terms, carry) = fn(actions, self._batched_carry(actions, carry0),
+                                  self.prims, self.mpm_params)
         return {"loss": loss, "terms": terms, "carry": carry}
 
     def batched_rollout_and_grad(self, actions, carry0=None,
@@ -928,7 +960,8 @@ class SoftMacEnv:
         actions = jnp.asarray(actions, self.dtype)
         fn = self._get_rollout(actions.shape[1], loss_start_frame, loss_stride,
                                True, bptt_window, grad_clip, batched=True)
-        return fn(actions, self._batched_carry(actions, carry0))
+        return fn(actions, self._batched_carry(actions, carry0),
+                  self.prims, self.mpm_params)
 
     # ==================================================================
     # rendering

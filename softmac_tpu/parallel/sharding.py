@@ -93,7 +93,7 @@ def params_spec(sp_axis: str):
         gravity=P(), control_idx=P(sp_axis), friction=P(), softness=P())
 
 
-def _scan_env_steps(env, params_local, carry0, actions):
+def _scan_env_steps(env, prims, params_local, carry0, actions):
     """Scan the env step over shard-LOCAL particles, with the same
     sorted-carry the single-chip rollout uses (env._build_rollout): each
     shard sorts ITS particles by base y-cell once at entry — P2G psums are
@@ -105,7 +105,7 @@ def _scan_env_steps(env, params_local, carry0, actions):
     cfg = env.mpm_cfg
     if not mpm_mod.sorted_transfers_wanted(cfg, env.dtype):
         def step(c, a):
-            c, _ = env._env_step_fn(c, a, params=params_local)
+            c, _ = env._env_step_fn(c, a, params=params_local, prims=prims)
             return c, None
         final, _ = jax.lax.scan(step, carry0, actions)
         return final
@@ -116,7 +116,8 @@ def _scan_env_steps(env, params_local, carry0, actions):
     params_s = mpm_mod.permute_params(params_local, q)
 
     def step(c, a):
-        c, _ = env._env_step_fn(c, a, params=params_s, assume_sorted=True)
+        c, _ = env._env_step_fn(c, a, params=params_s, assume_sorted=True,
+                                prims=prims)
         return c, None
 
     (mpm_f, bodies_f, rigid_f), _ = jax.lax.scan(step, carry_s, actions)
@@ -125,13 +126,15 @@ def _scan_env_steps(env, params_local, carry0, actions):
 
 def make_sharded_rollout(env, mesh: Mesh, n_steps: int):
     """jit(shard_map) of the env's OWN step function over a 1d 'sp' mesh:
-    rollout(mpm_params, carry0, actions (T, A)) -> final carry."""
+    rollout(mpm_params, carry0, actions (T, A), prims) -> final carry.
+    ``prims`` (the env's SDF tables) ride as replicated ARGUMENTS so the
+    tables are not baked into the executable as constants."""
 
-    def body(params_local, carry0, actions):
+    def body(params_local, carry0, actions, prims):
         old_ax = env.particle_axis_name
         env.particle_axis_name = "sp"
         try:
-            final = _scan_env_steps(env, params_local, carry0, actions)
+            final = _scan_env_steps(env, prims, params_local, carry0, actions)
         finally:
             env.particle_axis_name = old_ax
         return final
@@ -139,7 +142,7 @@ def make_sharded_rollout(env, mesh: Mesh, n_steps: int):
     cspec = carry_spec(env, None, "sp")
     sharded = _shard_map(
         body, mesh=mesh,
-        in_specs=(params_spec("sp"), cspec, P()),
+        in_specs=(params_spec("sp"), cspec, P(), P()),
         out_specs=cspec)
     return jax.jit(sharded)
 
@@ -150,17 +153,17 @@ def make_sharded_train_step(env, mesh: Mesh, lr: float = 1e-2):
     (MPM + SDF contact + force-controlled rigid), chamfer-to-target loss,
     value_and_grad, SGD update on the actions.
 
-    step(mpm_params, carry0 (dp-batched), actions (dp, T, A), target)
+    step(mpm_params, carry0 (dp-batched), actions (dp, T, A), target, prims)
       -> (loss, new_actions)
     """
 
-    def train_step(params_local, carry0, actions, tgt):
+    def train_step(params_local, carry0, actions, tgt, prims):
         def loss_fn(a):
             carry = jax.tree.map(lambda s: s[0], carry0)  # local dp batch of 1
             old_ax = env.particle_axis_name
             env.particle_axis_name = "sp"
             try:
-                final = _scan_env_steps(env, params_local, carry, a[0])
+                final = _scan_env_steps(env, prims, params_local, carry, a[0])
             finally:
                 env.particle_axis_name = old_ax
             mpm = final[0]
@@ -177,7 +180,7 @@ def make_sharded_train_step(env, mesh: Mesh, lr: float = 1e-2):
     sharded = _shard_map(
         train_step, mesh=mesh,
         in_specs=(params_spec("sp"), carry_spec(env, "dp", "sp"),
-                  P("dp"), P()),
+                  P("dp"), P(), P()),
         out_specs=(P(), P("dp")))
     return jax.jit(sharded)
 
@@ -230,7 +233,8 @@ def dryrun(n_devices: Optional[int] = None, n_steps: int = 2) -> None:
     target = jnp.asarray(0.45 + 0.1 * rng.rand(128, 3), env.dtype)
 
     step = make_sharded_train_step(env, mesh)
-    loss, new_actions = step(env.mpm_params, batched, actions, target)
+    loss, new_actions = step(env.mpm_params, batched, actions, target,
+                             env.prims)
     loss = float(loss)
     assert np.isfinite(loss), "multichip dryrun produced non-finite loss"
     assert np.isfinite(np.asarray(new_actions)).all()

@@ -37,7 +37,7 @@ def test_sharded_rollout_matches_single_device(pour_env):
 
     mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
     rollout = sh.make_sharded_rollout(env, mesh, n_steps)
-    out = rollout(env.mpm_params, carry0, actions)
+    out = rollout(env.mpm_params, carry0, actions, env.prims)
 
     # particle state
     np.testing.assert_allclose(np.asarray(out[0].x), np.asarray(ref[0].x),
@@ -66,7 +66,8 @@ def test_sharded_train_step_descends(pour_env):
     target = jnp.asarray(0.45 + 0.1 * rng.rand(64, 3), env.dtype)
 
     step = sh.make_sharded_train_step(env, mesh, lr=1e-3)
-    loss0, actions1 = step(env.mpm_params, batched, actions, target)
+    loss0, actions1 = step(env.mpm_params, batched, actions, target,
+                           env.prims)
     assert np.isfinite(float(loss0))
     assert not np.allclose(np.asarray(actions1), 0.0)  # gradients flowed
 
@@ -86,12 +87,12 @@ def test_sharded_sorted_carry_matches_default(pour_env, monkeypatch):
 
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("sp",))
     ref = sh.make_sharded_rollout(env, mesh, n_steps)(
-        env.mpm_params, carry0, actions)
+        env.mpm_params, carry0, actions, env.prims)
 
     monkeypatch.setattr(mpm_mod, "sorted_transfers_wanted",
                         lambda cfg, dtype: True)
     got = sh.make_sharded_rollout(env, mesh, n_steps)(
-        env.mpm_params, carry0, actions)
+        env.mpm_params, carry0, actions, env.prims)
     np.testing.assert_allclose(np.asarray(got[0].x), np.asarray(ref[0].x),
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(got[2].q), np.asarray(ref[2].q),
@@ -118,7 +119,7 @@ def test_sharded_rollout_articulated_tree(tmp_path):
 
     mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
     rollout = sh.make_sharded_rollout(env, mesh, n_steps)
-    out = rollout(env.mpm_params, carry0, actions)
+    out = rollout(env.mpm_params, carry0, actions, env.prims)
 
     assert float(jnp.abs(ref[2].qd).max()) > 0.1  # the tree is swinging
     for c in range(3):
