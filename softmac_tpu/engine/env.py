@@ -726,10 +726,14 @@ class SoftMacEnv:
             carry, (ovf, _) = jax.lax.scan(
                 functools.partial(env_step, prims, params),
                 carry, action_block)
+            n_pen = jnp.zeros((), jnp.int32)
             if self.has_cloth:
-                mpm, cloth, _ = carry
+                mpm, cloth, pen = carry
                 sample = FrameSample(x=mpm.x_nd, bodies=None,
                                      cloth_x=cloth.x, cloth_v=cloth.v)
+                # reference check_penetration parity (soft_cloth
+                # mpm_simulator.py:556-561), surfaced per sample block
+                n_pen = jnp.sum((pen.penetration != 0).astype(jnp.int32))
             elif use_sort:
                 (mpm, bodies, _), _, perm = carry
                 # losses may index particles (TransportLoss halves): restore
@@ -740,7 +744,7 @@ class SoftMacEnv:
             else:
                 mpm, bodies, _ = carry
                 sample = FrameSample(x=mpm.x_nd, bodies=bodies)
-            return carry, (sample, jnp.any(ovf))
+            return carry, (sample, jnp.any(ovf), n_pen)
 
         def _sort_in(carry0, params):
             """Original-order carry -> extended carry (identity perm; the
@@ -776,7 +780,7 @@ class SoftMacEnv:
             carry_run = _sort_in(carry0, params) if use_sort else carry0
             if n_segments > 1:
                 ab = actions.reshape(n_segments, seg_blocks, block, -1)
-                carry, (samples, ovf) = jax.lax.scan(
+                carry, (samples, ovf, npen) = jax.lax.scan(
                     functools.partial(segment_fn, prims, params),
                     carry_run, ab)
                 samples = jax.tree.map(
@@ -784,6 +788,8 @@ class SoftMacEnv:
                 ovf = ovf.reshape(-1)
                 loss_total = jnp.zeros((), self.dtype)
                 terms_acc = {"window_overflow": jnp.any(ovf)}
+                if self.has_cloth:
+                    terms_acc["n_penetration"] = npen.reshape(-1)[-1]
                 if self.loss is not None:
                     per_block = jax.lax.map(self.loss.terms, samples)
                     for k, v in per_block.items():
@@ -805,10 +811,12 @@ class SoftMacEnv:
                     carry = _sort_out(carry)
                 return loss_total, (terms_acc, carry)
             ab = actions.reshape(n_blocks, block, -1)
-            carry, (samples, ovf) = jax.lax.scan(bf, carry_run, ab)
+            carry, (samples, ovf, npen) = jax.lax.scan(bf, carry_run, ab)
 
             loss_total = jnp.zeros((), self.dtype)
             terms_acc = {"window_overflow": jnp.any(ovf)}
+            if self.has_cloth:
+                terms_acc["n_penetration"] = npen[-1]
             if self.loss is not None:
                 per_block = jax.lax.map(self.loss.terms, samples)
                 for k, v in per_block.items():

@@ -164,3 +164,17 @@ def test_cloth_env_state_io_and_penetration_counter():
     # 24-column (rigid-layout) states load too, preserving side-state
     env.set_state(moved[:, :24])
     np.testing.assert_allclose(env.get_state(), moved, atol=1e-12)
+
+
+def test_cloth_rollout_terms_report_penetration():
+    """The functional rollout surfaces the check_penetration counter as the
+    n_penetration term (final sampled block), parity with the reference's
+    runtime query (soft_cloth/engine/mpm_simulator.py:556-561)."""
+    from softmac_tpu import SoftMacEnv, load
+    cfg = load("softmac_tpu/config/demo_hit_config.py")
+    env = SoftMacEnv(cfg)
+    actions = np.zeros((2, env.action_dim))   # two env steps
+    out = env.rollout(actions, loss_stride=env.substeps)
+    assert "n_penetration" in out["terms"]
+    n = int(out["terms"]["n_penetration"])
+    assert 0 <= n <= env.n_particles
