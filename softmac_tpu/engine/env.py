@@ -301,10 +301,10 @@ class SoftMacEnv:
         self.keep_history = not is_copy
 
     def set_control_idx(self, idx: np.ndarray):
+        # control_idx rides inside the traced params argument: no compiled
+        # program depends on its VALUES, so nothing needs rebuilding
         self.mpm_params = self.mpm_params.replace(
             control_idx=jnp.asarray(idx, jnp.int32))
-        self._jit_cache.clear()
-        self._step_jit = self._make_step_jit()
 
     # ==================================================================
     # initial state
@@ -614,8 +614,12 @@ class SoftMacEnv:
             mpm, extf = jax.lax.scan(sub, mpm, jnp.arange(cfg.substeps))
             ext_f = jnp.sum(extf, axis=0) / cfg.substeps
 
-            # fold weld-primitive wrenches onto their carriers first so the
-            # compensation sees the full wrench the composite body feels
+            # compensation view: weld-primitive wrenches folded onto their
+            # carriers so the compensation sees the full wrench the composite
+            # body feels. A SEPARATE array from ext_f — model.step performs
+            # its own weld fold, so passing the folded array would double-
+            # count the weld wrenches.
+            ext_c = ext_f
             bs = None
             for i, b in enumerate(model.bodies):
                 if b.jtype != "weld" or not b.gravity_on:
@@ -623,32 +627,23 @@ class SoftMacEnv:
                 if bs is None:
                     bs = model.body_states(rigid)
                 p = b.weld_parent
-                f, t = ext_f[i, :3], ext_f[i, 3:]
+                f, t = ext_c[i, :3], ext_c[i, 3:]
                 r = bs.pos[i] - bs.pos[p]
-                ext_f = (ext_f.at[p, :3].add(f)
-                         .at[p, 3:].add(t + jnp.cross(r, f)))
+                ext_c = (ext_c.at[p, :3].add(f)
+                         .at[p, 3:].add(t + jnp.cross(r, f))
+                         .at[i].set(0.0))
 
             def _free_compensate(adj, o, i, mass):
-                adj = adj.at[o:o + 3].add(-ext_f[i, 3:])
-                return adj.at[o + 3:o + 6].add(-(ext_f[i, :3] + mass * g))
+                adj = adj.at[o:o + 3].add(-ext_c[i, 3:])
+                return adj.at[o + 3:o + 6].add(-(ext_c[i, :3] + mass * g))
 
             adj = action.astype(self.dtype)
             for i, b in enumerate(model.bodies):
                 if not b.gravity_on:
                     continue
-                if b.jtype == "floating":
-                    adj = _free_compensate(adj, b.q_offset, i, b.mass)
-                elif b.jtype == "chain":
-                    spec = model._chains[b.chain_id]
-                    m = spec["slots"].index(i)
-                    ch = spec["chain"]
-                    if ch.joints[m].jtype == "floating":
-                        # a floating ROOT holds the whole assembly against
-                        # gravity (member masses already include welded-on
-                        # links via the composite fold)
-                        mass = (sum(j.mass for j in ch.joints)
-                                if ch.parents[m] < 0 else ch.joints[m].mass)
-                        adj = _free_compensate(adj, b.q_offset, i, mass)
+                mass = model.compensation_mass(i)
+                if mass is not None:
+                    adj = _free_compensate(adj, b.q_offset, i, mass)
             rigid = model.step(rigid, adj, ext_f)
             bodies = model.body_states(rigid)
             return (mpm, bodies, rigid), adj

@@ -75,15 +75,20 @@ def make_closed_loop_rollout(env, policy: MLPPolicy, n_steps: int,
             parts.append(body_observation(bodies))
         return jnp.concatenate(parts)
 
-    env_step = jax.checkpoint(env._env_step_fn)
+    def env_step_p(prims, mpm_params, c, a):
+        return env._env_step_fn(c, a, params=mpm_params, prims=prims)
+
+    env_step = jax.checkpoint(env_step_p)
     carry0 = env._initial_carry()  # host-built; close over it (not traceable)
 
-    def loss_fn(params):
+    # prims / mpm params are traced jit arguments (see engine/env.py):
+    # the SDF tables would otherwise be baked into the policy executable
+    def loss_fn(params, prims, mpm_params):
         carry = carry0
 
         def step(c, _):
             action = policy.apply(params, obs_fn(c))
-            c, _aux = env_step(c, action)
+            c, _aux = env_step(prims, mpm_params, c, action)
             return c, None
 
         carry, _ = jax.lax.scan(step, carry, None, length=n_steps)
@@ -101,4 +106,6 @@ def make_closed_loop_rollout(env, policy: MLPPolicy, n_steps: int,
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         return policy.init(rng, obs_fn(carry0))
 
-    return jax.jit(loss_fn), init_params
+    loss_jit = jax.jit(loss_fn)
+    return (lambda params: loss_jit(params, env.prims, env.mpm_params),
+            init_params)

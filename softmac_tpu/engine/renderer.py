@@ -97,6 +97,31 @@ class PointRenderer:
                 depth[yi[sel] + dy, xi[sel] + dx] = z[sel]
                 img[yi[sel] + dy, xi[sel] + dx] = colors[sel]
 
+    @staticmethod
+    def _tri_cover(sx, sy, idxs, w, h):
+        """Shared triangle scan-coverage: bbox-clipped pixel grid +
+        barycentric weights for one screen-projected triangle, or None when
+        degenerate / fully clipped. Used by the shaded rasterizer and the
+        shadow-mask rasterizer so the coverage rule lives in one place."""
+        i0, i1, i2 = idxs
+        xs = np.array([sx[i0], sx[i1], sx[i2]])
+        ys = np.array([sy[i0], sy[i1], sy[i2]])
+        x0, x1 = int(max(xs.min(), 0)), int(min(xs.max(), w - 1)) + 1
+        y0, y1 = int(max(ys.min(), 0)), int(min(ys.max(), h - 1)) + 1
+        if x0 >= x1 or y0 >= y1:
+            return None
+        gx, gy = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
+        d = (ys[1] - ys[2]) * (xs[0] - xs[2]) \
+            + (xs[2] - xs[1]) * (ys[0] - ys[2])
+        if abs(d) < 1e-12:
+            return None
+        w0 = ((ys[1] - ys[2]) * (gx - xs[2])
+              + (xs[2] - xs[1]) * (gy - ys[2])) / d
+        w1 = ((ys[2] - ys[0]) * (gx - xs[2])
+              + (xs[0] - xs[2]) * (gy - ys[2])) / d
+        w2 = 1 - w0 - w1
+        return gx, gy, w0, w1, w2, (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+
     def _raster_mesh(self, img, depth, verts, faces, color, alpha=1.0,
                      smooth=False):
         h, w = self.res[1], self.res[0]
@@ -123,22 +148,11 @@ class PointRenderer:
             i0, i1, i2 = tri[t]
             if not (valid[i0] and valid[i1] and valid[i2]):
                 continue
-            xs = np.array([sx[i0], sx[i1], sx[i2]])
-            ys = np.array([sy[i0], sy[i1], sy[i2]])
-            zs = np.array([z[i0], z[i1], z[i2]])
-            x0, x1 = int(max(xs.min(), 0)), int(min(xs.max(), w - 1)) + 1
-            y0, y1 = int(max(ys.min(), 0)), int(min(ys.max(), h - 1)) + 1
-            if x0 >= x1 or y0 >= y1:
+            cov = self._tri_cover(sx, sy, (i0, i1, i2), w, h)
+            if cov is None:
                 continue
-            gx, gy = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
-            d = (ys[1] - ys[2]) * (xs[0] - xs[2]) + (xs[2] - xs[1]) * (ys[0] - ys[2])
-            if abs(d) < 1e-12:
-                continue
-            w0 = ((ys[1] - ys[2]) * (gx - xs[2]) + (xs[2] - xs[1]) * (gy - ys[2])) / d
-            w1 = ((ys[2] - ys[0]) * (gx - xs[2]) + (xs[0] - xs[2]) * (gy - ys[2])) / d
-            w2 = 1 - w0 - w1
-            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-            zp = w0 * zs[0] + w1 * zs[1] + w2 * zs[2]
+            gx, gy, w0, w1, w2, inside = cov
+            zp = w0 * z[i0] + w1 * z[i1] + w2 * z[i2]
             sel = inside & (zp < depth[gy, gx])
             if smooth:
                 sh = (w0 * vshade[i0] + w1 * vshade[i1]
@@ -181,23 +195,11 @@ class PointRenderer:
             i0, i1, i2 = faces[t]
             if not (valid[i0] and valid[i1] and valid[i2]):
                 continue
-            xs = np.array([sx[i0], sx[i1], sx[i2]])
-            ys = np.array([sy[i0], sy[i1], sy[i2]])
-            x0, x1 = int(max(xs.min(), 0)), int(min(xs.max(), w - 1)) + 1
-            y0, y1 = int(max(ys.min(), 0)), int(min(ys.max(), h - 1)) + 1
-            if x0 >= x1 or y0 >= y1:
+            cov = self._tri_cover(sx, sy, (i0, i1, i2), w, h)
+            if cov is None:
                 continue
-            gx, gy = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
-            d = (ys[1] - ys[2]) * (xs[0] - xs[2]) \
-                + (xs[2] - xs[1]) * (ys[0] - ys[2])
-            if abs(d) < 1e-12:
-                continue
-            w0 = ((ys[1] - ys[2]) * (gx - xs[2])
-                  + (xs[2] - xs[1]) * (gy - ys[2])) / d
-            w1 = ((ys[2] - ys[0]) * (gx - xs[2])
-                  + (xs[0] - xs[2]) * (gy - ys[2])) / d
-            w2 = 1 - w0 - w1
-            mask[gy, gx] |= (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+            gx, gy, _, _, _, inside = cov
+            mask[gy, gx] |= inside
 
     def _mask_points(self, mask, pts, size=1):
         h, w = self.res[1], self.res[0]

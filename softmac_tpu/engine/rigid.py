@@ -322,6 +322,35 @@ class RigidModel:
         return RigidState(q=jnp.asarray(self._q0, self.dtype),
                           qd=jnp.asarray(self._qd0, self.dtype))
 
+    def compensation_mass(self, slot: int):
+        """Gravity-affected mass held by the free joint at body ``slot``
+        (used by ``adjust_action_with_ext_force``): the body's own composite
+        mass for fast-path floating bodies; for chain members with a
+        floating joint, the mass of the joint's whole SUBTREE — member
+        masses already include welded-on links via the composite fold, and
+        gravity-masked members are excluded to match the chain's potential
+        energy. None when the slot has no free joint."""
+        b = self.bodies[slot]
+        if b.jtype == "floating":
+            return b.mass
+        if b.jtype != "chain":
+            return None
+        spec = self._chains[b.chain_id]
+        m = spec["slots"].index(slot)
+        ch = spec["chain"]
+        if ch.joints[m].jtype != "floating":
+            return None
+
+        def in_subtree(j):
+            while j >= 0:
+                if j == m:
+                    return True
+                j = ch.parents[j]
+            return False
+
+        return sum(ch.joints[j].mass for j in range(len(ch.joints))
+                   if in_subtree(j) and ch.joints[j].gravity_on)
+
     def body_states(self, state: RigidState) -> BodyState:
         """Per-primitive world pose + BODY-frame COM spatial velocity.
 
@@ -349,7 +378,7 @@ class RigidModel:
                 # R(axis_w·q) alone would be off by a joint_rot similarity
                 # for URDFs with <origin rpy> != 0 (latent in the reference
                 # scenes, which all use rpy = 0)
-                a = jnp.asarray(b.axis / np.linalg.norm(b.axis), self.dtype)
+                a = jnp.asarray(b.axis, self.dtype)   # unit at load
                 jq = Q.mat2quat(jnp.asarray(b.joint_rot, self.dtype))
                 bq = Q.qmul(jq, Q.w2quat(a * state.q[o]))
                 pos.append(jnp.asarray(b.joint_pos, self.dtype))
@@ -500,8 +529,7 @@ class RigidModel:
                 # (body origin == joint origin for the reference's URDFs)
                 tau = action[o] + jnp.dot(axis_w, t_ext)
                 if b.gravity_on:
-                    a = jnp.asarray(b.axis / np.linalg.norm(b.axis),
-                                    self.dtype)
+                    a = jnp.asarray(b.axis, self.dtype)   # unit at load
                     bq = Q.qmul(Q.mat2quat(jnp.asarray(b.joint_rot,
                                                        self.dtype)),
                                 Q.w2quat(a * q[o]))
@@ -510,7 +538,7 @@ class RigidModel:
                 # parallel axis: URDF inertia is about the COM; the joint
                 # axis passes through the body origin at distance
                 # d = |c - (c.a)a| from the COM
-                c, a = b.com, b.axis / np.linalg.norm(b.axis)
+                c, a = b.com, b.axis                      # unit at load
                 I_a = float(a @ b.inertia @ a
                             + b.mass * (c @ c - (c @ a) ** 2))
                 # implicit viscous damping (explicit -c*qd is unstable once

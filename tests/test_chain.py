@@ -864,3 +864,22 @@ def test_adjust_action_holds_floating_chain(tmp_path):
     drop_free = abs(y_free - 0.5)
     assert drop_free > 1e-3                   # free-fell without adjustment
     assert abs(y_held - 0.5) < 0.25 * drop_free
+
+
+def test_compensation_mass_subtree(tmp_path):
+    """RigidModel.compensation_mass: a floating chain root holds its whole
+    subtree's gravity-on mass; masking a member via ext_force_flags removes
+    its weight (matching the chain's PE mask); non-free joints return None."""
+    from softmac_tpu.engine.meshio import load_urdf
+    from softmac_tpu.engine.rigid import RigidModel
+
+    urdf = _flybot_urdf(tmp_path)
+    cfg = _flybot_cfg((0.0,) * 14)
+    m = RigidModel([load_urdf(urdf)], cfg, env_dt=1e-3, dtype=jnp.float64)
+    assert m.bodies[0].jtype == "chain"
+    np.testing.assert_allclose(m.compensation_mass(0), 0.7)
+    assert m.compensation_mass(1) is None        # revolute member
+
+    m2 = RigidModel([load_urdf(urdf)], cfg, env_dt=1e-3, dtype=jnp.float64,
+                    ext_force_flags=(True, False))
+    np.testing.assert_allclose(m2.compensation_mass(0), 0.5)

@@ -454,3 +454,94 @@ def test_weld_ext_force_flags_per_primitive(tmp_path):
                    ext_force_flags=(True, False))
     s = m.step(s0, None, ext)
     np.testing.assert_allclose(float(s.qd[0]), 0.0, atol=1e-15)
+
+
+def test_adjust_action_weld_contact_folds_once(tmp_path):
+    """adjust_action_with_ext_force on a floating body carrying a welded
+    mesh in MPM contact: the compensation must equal minus the measured
+    wrench folded ONCE onto the carrier (model.step performs its own weld
+    fold on the raw ext_f — pre-folding what is passed to it would double-
+    count the weld's contact wrench)."""
+    from softmac_tpu import SoftMacEnv, get_cfg_defaults
+    from softmac_tpu.config.node import CN
+
+    obj = tmp_path / "wbox.obj"
+    lo, hi = -0.04, 0.04
+    verts = [(x, y, z) for x in (lo, hi) for y in (lo, hi) for z in (lo, hi)]
+    lines = [f"v {x} {y} {z}" for x, y, z in verts]
+    lines += ["f 1 2 4 3", "f 5 7 8 6", "f 1 5 6 2",
+              "f 3 4 8 7", "f 1 3 7 5", "f 2 6 8 4"]
+    obj.write_text("\n".join(lines) + "\n")
+    urdf = tmp_path / "carrier.urdf"
+    urdf.write_text("""<?xml version="1.0"?>
+<robot name="carrier">
+  <link name="world"/>
+  <joint name="root" type="floating">
+    <parent link="world"/> <child link="base"/>
+  </joint>
+  <link name="base">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 0 0"/>
+      <mass value="0.5"/>
+      <inertia ixx="5e-4" ixy="0" ixz="0" iyy="5e-4" iyz="0" izz="5e-4"/>
+    </inertial>
+    <collision><geometry><mesh filename="wbox.obj"/></geometry></collision>
+  </link>
+  <joint name="weldj" type="fixed">
+    <parent link="base"/> <child link="plate"/>
+    <origin xyz="0.12 0 0" rpy="0 0 0"/>
+  </joint>
+  <link name="plate">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 0 0"/>
+      <mass value="0.2"/>
+      <inertia ixx="2e-4" ixy="0" ixz="0" iyy="2e-4" iyz="0" izz="2e-4"/>
+    </inertial>
+    <collision><geometry><mesh filename="wbox.obj"/></geometry></collision>
+  </link>
+</robot>
+""")
+    G = 9.8
+    cfg = get_cfg_defaults()
+    cfg.control_mode = "rigid"
+    cfg.env_dt = 1e-3
+    cfg.SIMULATOR.dt = 1e-3
+    cfg.SIMULATOR.ptype = 1
+    cfg.SIMULATOR.material_model = 0
+    cfg.SIMULATOR.E = 50.0
+    cfg.SIMULATOR.collision_type = 2
+    # blob overlapping the WELDED plate's top face so contact fires at t=0
+    cfg.SHAPES = [{"shape": "box", "width": (0.05, 0.04, 0.05),
+                   "init_pos": [0.62, 0.35, 0.5], "n_particles": 256,
+                   "color": 0, "init_rot": None}]
+    prim = CN()
+    prim.friction = 0.2
+    prim.urdf_path = str(urdf)
+    prim.enable_external_force = True
+    cfg.PRIMITIVES = [prim]
+    cfg.RIGID.gravity = (0.0, -G, 0.0)
+    cfg.RIGID.enable_floor = False
+    cfg.RIGID.init_state = ((0.0, 0.0, 0.0, 0.5, 0.3, 0.5)
+                            + (0.0,) * 6)
+    cfg.TPU.active_window = (16, 16, 16)
+
+    env = SoftMacEnv(cfg, loss=False)
+    assert env.rigid_model.bodies[1].jtype == "weld"
+
+    env.reset()
+    env.step(np.zeros(env.action_dim))
+    ext0 = np.asarray(env.last_ext_f)            # (2, 6) [f, t], unfolded
+    assert np.abs(ext0[1]).max() > 1e-8          # contact hit the weld prim
+
+    adj = env.adjust_action_with_ext_force(np.zeros((1, env.action_dim)))[0]
+
+    m = env.rigid_model
+    bs = m.body_states(m.init_state())
+    r = np.asarray(bs.pos[1] - bs.pos[0])
+    f_c = ext0[0, :3] + ext0[1, :3]
+    t_c = ext0[0, 3:] + ext0[1, 3:] + np.cross(r, ext0[1, :3])
+    g = np.array([0.0, -G, 0.0])
+    np.testing.assert_allclose(adj[0:3], -t_c, rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(adj[3:6], -(f_c + m.compensation_mass(0) * g),
+                               rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(m.compensation_mass(0), 0.7)
