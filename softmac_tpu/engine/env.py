@@ -668,7 +668,8 @@ class SoftMacEnv:
         return block, n_blocks, mask.astype(np.float64), include_f0
 
     def _build_rollout(self, n_steps, loss_start_frame, loss_stride, with_grad,
-                       bptt_window=None, grad_clip=None, batched=False):
+                       bptt_window=None, grad_clip=None, batched=False,
+                       remat="step"):
         block, n_blocks, mask_np, include_f0 = self._sample_mask(
             n_steps, loss_start_frame, loss_stride)
         assert n_blocks * block == n_steps, (
@@ -688,17 +689,25 @@ class SoftMacEnv:
         # prims/params enter as traced arguments of the jitted rollout (not
         # closure constants — see _env_step_fn); the scan bodies bind them
         # via functools.partial so lax.scan hoists them as loop invariants.
+        # remat policy. "step" (default): jax.checkpoint every env step —
+        # O(1)-in-T residual memory, backward replays each step's forward
+        # (required at the demos' 2000-3000-step horizons). "none": store
+        # each step's custom_vjp residuals in the scan tape instead — the
+        # reference's own store-all design (mpm_simulator.py caches every
+        # substep state) — skipping the replay for a faster backward when
+        # T x N residuals fit HBM (e.g. the 50-step bench at 1e5 particles).
+        wrap = jax.checkpoint if remat == "step" else (lambda f: f)
         if use_sort:
             def env_step_s(prims, params, c, a):
                 core, params_s, perm = c
                 core, out = self._env_step_fn(
                     core, a, params=params_s, assume_sorted=True, prims=prims)
                 return (core, params_s, perm), out
-            env_step = jax.checkpoint(env_step_s)
+            env_step = wrap(env_step_s)
         else:
             def env_step_d(prims, params, c, a):
                 return self._env_step_fn(c, a, params=params, prims=prims)
-            env_step = jax.checkpoint(env_step_d)
+            env_step = wrap(env_step_d)
 
         def _resort(carry):
             core, params_s, perm = carry
@@ -848,9 +857,10 @@ class SoftMacEnv:
                        if batched else rollout_grad)
 
     def _get_rollout(self, n_steps, loss_start_frame, loss_stride, with_grad,
-                     bptt_window=None, grad_clip=None, batched=False):
+                     bptt_window=None, grad_clip=None, batched=False,
+                     remat="step"):
         key = (n_steps, loss_start_frame, loss_stride, with_grad, bptt_window,
-               grad_clip, batched)
+               grad_clip, batched, remat)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_rollout(*key)
         return self._jit_cache[key]
@@ -884,10 +894,10 @@ class SoftMacEnv:
         return contextlib.nullcontext()
 
     def rollout(self, actions, loss_start_frame=None, loss_stride=20,
-                bptt_window=None, grad_clip=None):
+                bptt_window=None, grad_clip=None, remat="step"):
         actions = jnp.asarray(actions, self.dtype)
         fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride,
-                               False, bptt_window, grad_clip)
+                               False, bptt_window, grad_clip, remat=remat)
         ctx = self._maybe_profile()
         with ctx:
             loss, (terms, carry) = fn(actions, self._initial_carry(),
@@ -898,10 +908,10 @@ class SoftMacEnv:
         return {"loss": loss, "terms": terms, "carry": carry}
 
     def rollout_and_grad(self, actions, loss_start_frame=None, loss_stride=20,
-                         bptt_window=None, grad_clip=None):
+                         bptt_window=None, grad_clip=None, remat="step"):
         actions = jnp.asarray(actions, self.dtype)
         fn = self._get_rollout(actions.shape[0], loss_start_frame, loss_stride,
-                               True, bptt_window, grad_clip)
+                               True, bptt_window, grad_clip, remat=remat)
         ctx = self._maybe_profile()
         with ctx:
             out = fn(actions, self._initial_carry(), self.prims,
@@ -942,7 +952,8 @@ class SoftMacEnv:
         return (mpm0,) + tuple(carry[1:])
 
     def batched_rollout(self, actions, carry0=None, loss_start_frame=None,
-                        loss_stride=20, bptt_window=None, grad_clip=None):
+                        loss_stride=20, bptt_window=None, grad_clip=None,
+                        remat="step"):
         """Roll out B independent trajectories in ONE jitted program.
 
         actions: (B, T, action_dim); carry0: optional batched carry pytree
@@ -951,18 +962,21 @@ class SoftMacEnv:
         """
         actions = jnp.asarray(actions, self.dtype)
         fn = self._get_rollout(actions.shape[1], loss_start_frame, loss_stride,
-                               False, bptt_window, grad_clip, batched=True)
+                               False, bptt_window, grad_clip, batched=True,
+                               remat=remat)
         loss, (terms, carry) = fn(actions, self._batched_carry(actions, carry0),
                                   self.prims, self.mpm_params)
         return {"loss": loss, "terms": terms, "carry": carry}
 
     def batched_rollout_and_grad(self, actions, carry0=None,
                                  loss_start_frame=None, loss_stride=20,
-                                 bptt_window=None, grad_clip=None):
+                                 bptt_window=None, grad_clip=None,
+                                 remat="step"):
         """Like batched_rollout, plus per-trajectory "action_grad" (B, T, A)."""
         actions = jnp.asarray(actions, self.dtype)
         fn = self._get_rollout(actions.shape[1], loss_start_frame, loss_stride,
-                               True, bptt_window, grad_clip, batched=True)
+                               True, bptt_window, grad_clip, batched=True,
+                               remat=remat)
         return fn(actions, self._batched_carry(actions, carry0),
                   self.prims, self.mpm_params)
 

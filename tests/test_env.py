@@ -132,6 +132,24 @@ def test_graft_entry_points():
     ge.dryrun_multichip(8)
 
 
+def test_remat_none_matches_step(pour_vel_env):
+    """remat="none" (reference-style store-all tape: scan keeps the
+    custom_vjp residuals, no per-step checkpoint replay) must produce the
+    same loss AND the same gradient as the default per-step remat —
+    identical math, different residual policy."""
+    env = pour_vel_env
+    actions = np.zeros((4, 12))
+    actions[:, 2] = 1.5
+    ref = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=2)
+    tape = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=2,
+                                remat="none")
+    np.testing.assert_allclose(float(tape["loss"]), float(ref["loss"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(tape["action_grad"]),
+                               np.asarray(ref["action_grad"]),
+                               rtol=1e-9, atol=1e-12)
+
+
 def test_bptt_window_rollout(pour_vel_env):
     """Truncated-BPTT rollout: same forward values, finite gradients."""
     env = pour_vel_env
