@@ -199,13 +199,18 @@ def _provision_devices(n_devices: int):
         jax.config.update("jax_num_cpu_devices", max(n_devices, 1))
     except RuntimeError:
         pass  # backends already initialized; count below decides
-    devices = jax.devices()
+    try:
+        devices = jax.devices()
+    except RuntimeError:
+        # default backend unavailable (e.g. accelerator tunnel down) —
+        # the CPU backend below still works
+        devices = []
     if len(devices) >= n_devices:
         return devices[:n_devices]
     devices = jax.devices("cpu")
     if len(devices) < n_devices:
         raise RuntimeError(
-            f"need {n_devices} devices, have {len(jax.devices())} and could "
+            f"need {n_devices} devices and could "
             f"only provision {len(devices)} virtual CPU devices; set "
             f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
             f"JAX_PLATFORMS=cpu before process start")
