@@ -46,6 +46,11 @@ def main(args):
 
     actions0 = np.zeros((args.steps, 3))
     actions0[:, 2] = -8.0
+    if args.init_actions:
+        # resume from a saved trajectory (reference demo_hit.py:85 loads
+        # ckpt "actions_24.pt"; ours are the per-epoch ckpt/actions_*.npy)
+        actions0 = np.asarray(np.load(args.init_actions))[: args.steps]
+        assert actions0.shape == (args.steps, 3), actions0.shape
     # separate optimizers: xy at 0.1x lr, z at full lr (demo_hit.py:44-54)
     xy_ctl = Controller(args.steps, 2, args.steps, lr=0.8 * 0.1, warmup=5,
                         decay=0.99, actions_init=actions0[:, :2])
@@ -98,5 +103,7 @@ if __name__ == "__main__":
     parser.add_argument("--render-interval", type=int, default=5)
     parser.add_argument("--epochs", type=int, default=40)
     parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--init-actions", type=str, default=None,
+                        help="resume from a saved ckpt/actions_*.npy")
     args = parser.parse_args()
     main(args)
