@@ -277,3 +277,29 @@ def test_other_window_geometries(monkeypatch, window):
     for d in range(3):
         np.testing.assert_allclose(out[d], v_ref[d], rtol=2e-3, atol=2e-3)
     pallas_chunked.family.cache_clear()
+
+
+def test_p2g_chunked_vmap_batches(fam):
+    """jax.vmap over the chunked kernels (fwd AND custom_vjp bwd): the
+    batched multi-trajectory rollout (env.batched_rollout*) vmaps the env
+    step, which on TPU contains these pallas_calls — the pallas batching
+    rule must lift them to an extra grid dim without changing results."""
+    cfg, x_vec, ps, W, WD, meta, v, C, stress, impulse = _setup(seed=5)
+    chan = _chan(cfg, ps, v, C, stress, impulse)
+
+    gm1, gmom1 = fam.p2g(chan, meta)
+    chan_b = jnp.stack([chan, chan])
+    meta_b = jnp.stack([meta, meta])
+    gm_v, gmom_v = jax.vmap(fam.p2g)(chan_b, meta_b)
+    for b in range(2):
+        np.testing.assert_allclose(gm_v[b], gm1, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(gmom_v[b], gmom1, rtol=1e-6, atol=1e-7)
+
+    def lossf(c):
+        gm, gmom = fam.p2g(c, meta)
+        return jnp.sum(gm ** 2) + jnp.sum(gmom ** 2)
+
+    g1 = jax.grad(lossf)(chan)
+    gv = jax.vmap(jax.grad(lossf))(chan_b)
+    for b in range(2):
+        np.testing.assert_allclose(gv[b], g1, rtol=1e-6, atol=1e-8)
