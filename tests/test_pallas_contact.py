@@ -133,3 +133,43 @@ def test_particle_fused_grads_match_xla(monkeypatch):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(1.0, np.abs(b).max())
         np.testing.assert_allclose(a / scale, b / scale, rtol=2e-3, atol=2e-3)
+
+
+def test_particle_fused_vmap_batches(monkeypatch):
+    """jax.vmap over the fused particle-contact kernel (fwd + custom_vjp
+    bwd): the batched multi-trajectory rollout vmaps the env step, which on
+    TPU reaches this pallas_call — the batching rule must lift it to an
+    extra grid dim without changing results."""
+    monkeypatch.setattr(pc, "_INTERPRET", True)
+    pc._particle_factory.cache_clear()
+    prim, bp, bq, bv, bw, x, v = _scene(n=500, seed=12)
+    fr = jnp.float32(0.4)
+    kw = dict(p_mass=2e-4, dt=1e-4)
+
+    imp1, wr1 = pc.collide_particle_fused(prim, bp, bq, bv, bw, fr, x, v,
+                                          **kw)
+    xb = tuple(jnp.stack([x[d], x[d]]) for d in range(3))
+    vb = tuple(jnp.stack([v[d], v[d]]) for d in range(3))
+
+    def call(x_, v_):
+        return pc.collide_particle_fused(prim, bp, bq, bv, bw, fr, x_, v_,
+                                         **kw)
+
+    imp_v, wr_v = jax.vmap(call)(xb, vb)
+    for b in range(2):
+        for d in range(3):
+            np.testing.assert_allclose(imp_v[d][b], imp1[d],
+                                       rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(wr_v[b], wr1, rtol=1e-6, atol=1e-8)
+
+    def lossf(x_, v_):
+        imp, wr = call(x_, v_)
+        return sum(jnp.sum(imp[d] ** 2) for d in range(3)) + jnp.sum(wr ** 2)
+
+    g1 = jax.grad(lossf, argnums=(0, 1))(x, v)
+    gv = jax.vmap(jax.grad(lossf, argnums=(0, 1)))(xb, vb)
+    for a, b in zip(jax.tree_util.tree_leaves(gv),
+                    jax.tree_util.tree_leaves(g1)):
+        for bb in range(2):
+            np.testing.assert_allclose(np.asarray(a)[bb], np.asarray(b),
+                                       rtol=1e-6, atol=1e-8)
