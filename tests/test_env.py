@@ -81,6 +81,15 @@ def test_sorted_carry_rollout_matches_default(pour_vel_env, monkeypatch):
     np.testing.assert_allclose(out_b["action_grad"], ref_b["action_grad"],
                                rtol=1e-9, atol=1e-12)
 
+    # store-all residual tape over the sorted carry (the bench.py TPU
+    # configuration: use_sort + remat="none")
+    out_n = env_s.rollout_and_grad(actions, loss_start_frame=0,
+                                   loss_stride=2, remat="none")
+    np.testing.assert_allclose(float(out_n["loss"]), float(ref["loss"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(out_n["action_grad"], ref["action_grad"],
+                               rtol=1e-9, atol=1e-12)
+
 
 def test_action_gradient_matches_fd(pour_vel_env):
     """jax.grad through the coupled rollout vs central differences."""
