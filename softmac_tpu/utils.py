@@ -183,6 +183,17 @@ class Controller:
         self.epoch = snap[2]
         self.lr = snap[3]
 
+    def save(self, path):
+        """Persist the full optimizer state (actions + Adam moments +
+        schedule position) so an optimization resumes EXACTLY. The
+        reference checkpoints only the action trajectory per epoch
+        (soft_cloth/demo_taco.py:127); this also keeps the moments."""
+        np.save(path, np.array(self.snapshot(), dtype=object),
+                allow_pickle=True)
+
+    def load(self, path):
+        self.restore(tuple(np.load(path, allow_pickle=True)))
+
 
 class EpochTimer:
     """Per-epoch phase timing printout (demo_pour.py:155-193 format)."""

@@ -277,3 +277,28 @@ def test_controller_snapshot_restore():
     # lr is part of the snapshot (safeguard halves it after restore)
     c.restore(snap)
     assert c.lr == 1e-2
+
+
+def test_controller_disk_roundtrip(tmp_path):
+    """Controller.save/load: resuming from disk continues the optimizer
+    path exactly (actions, Adam moments, schedule position)."""
+    from softmac_tpu.utils import Controller
+    rng = np.random.RandomState(1)
+    g1, g2 = rng.randn(20, 3), rng.randn(20, 3)
+
+    c = Controller(num_actions=4, action_dim=3, steps=20, lr=1e-2,
+                   warmup=2, decay=0.9)
+    c.step(g1)
+    c.save(tmp_path / "ctl.npy")
+
+    ref = Controller(num_actions=4, action_dim=3, steps=20, lr=1e-2,
+                     warmup=2, decay=0.9)
+    ref.step(g1)
+    ref.step(g2)
+
+    c2 = Controller(num_actions=4, action_dim=3, steps=20, lr=1e-2,
+                    warmup=2, decay=0.9)
+    c2.load(tmp_path / "ctl.npy")
+    c2.step(g2)
+    np.testing.assert_allclose(c2.action, ref.action, atol=1e-15)
+    assert c2.epoch == 2
