@@ -173,3 +173,42 @@ def test_particle_fused_vmap_batches(monkeypatch):
         for bb in range(2):
             np.testing.assert_allclose(np.asarray(a)[bb], np.asarray(b),
                                        rtol=1e-6, atol=1e-8)
+
+
+def test_mixed_fused_vmap_batches(monkeypatch):
+    """jax.vmap over the fused mixed-contact kernel (fwd + custom_vjp bwd):
+    the door demo's --replicas robustification vmaps the env step on TPU,
+    which reaches this pallas_call."""
+    monkeypatch.setattr(pc, "_INTERPRET", True)
+    pc._fused_factory.cache_clear()
+    prim, bp, bq, bv, bw, x, v = _scene(n=500, seed=13)
+    fr, so = jnp.float32(0.4), jnp.float32(666.0)
+    kw = dict(p_mass=2e-4, dt=1e-4, push_cap=None)
+
+    pv1, wr1 = pc.collide_mixed_fused(prim, bp, bq, bv, bw, fr, so, x, v,
+                                      0.25, **kw)
+    xb = tuple(jnp.stack([x[d], x[d]]) for d in range(3))
+    vb = tuple(jnp.stack([v[d], v[d]]) for d in range(3))
+
+    def call(x_, v_):
+        return pc.collide_mixed_fused(prim, bp, bq, bv, bw, fr, so, x_, v_,
+                                      0.25, **kw)
+
+    pv_v, wr_v = jax.vmap(call)(xb, vb)
+    for b in range(2):
+        for d in range(3):
+            np.testing.assert_allclose(pv_v[d][b], pv1[d],
+                                       rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(wr_v[b], wr1, rtol=1e-6, atol=1e-8)
+
+    def lossf(x_, v_):
+        pv, wr = call(x_, v_)
+        return sum(jnp.sum(pv[d] ** 2) for d in range(3)) + jnp.sum(wr ** 2)
+
+    g1 = jax.grad(lossf, argnums=(0, 1))(x, v)
+    gv = jax.vmap(jax.grad(lossf, argnums=(0, 1)))(xb, vb)
+    for a, b in zip(jax.tree_util.tree_leaves(gv),
+                    jax.tree_util.tree_leaves(g1)):
+        for bb in range(2):
+            np.testing.assert_allclose(np.asarray(a)[bb], np.asarray(b),
+                                       rtol=1e-6, atol=1e-8)
