@@ -303,3 +303,38 @@ def test_p2g_chunked_vmap_batches(fam):
     gv = jax.vmap(jax.grad(lossf))(chan_b)
     for b in range(2):
         np.testing.assert_allclose(gv[b], g1, rtol=1e-6, atol=1e-8)
+
+
+def test_g2p_gather_splat_vmap_batch(fam):
+    """vmap batching over the remaining chunked kernels (g2p / gather /
+    splat), fwd and bwd — completes the batched-rollout kernel coverage."""
+    cfg, x_vec, ps, W, WD, meta, v, C, stress, impulse = _setup(seed=6)
+    rng = np.random.default_rng(7)
+    gv = tuple(jnp.asarray(rng.standard_normal((WY * WZ, WX)), jnp.float32)
+               for _ in range(3))
+    pv = _pv(ps)
+    vals8 = _vals8(jnp.asarray(rng.standard_normal((3, N)), jnp.float32), ps)
+
+    for fn, args in ((fam.g2p, (pv, *gv)),
+                     (fam.gather, (pv, *gv)),
+                     (fam.splat, (vals8,))):
+        one = fn(*args, meta)
+        ab = tuple(jnp.stack([a, a]) for a in args)
+        out = jax.vmap(lambda *a: fn(*a, meta))(*ab)
+        for lo, lv in zip(jax.tree_util.tree_leaves(one),
+                          jax.tree_util.tree_leaves(out)):
+            for b in range(2):
+                np.testing.assert_allclose(np.asarray(lv)[b], np.asarray(lo),
+                                           rtol=1e-6, atol=1e-7)
+
+        def lossf(*a):
+            out = fn(*a, meta)
+            return sum(jnp.sum(l ** 2) for l in jax.tree_util.tree_leaves(out))
+
+        g1 = jax.grad(lossf, argnums=tuple(range(len(args))))(*args)
+        gvv = jax.vmap(jax.grad(lossf, argnums=tuple(range(len(args)))))(*ab)
+        for lo, lv in zip(jax.tree_util.tree_leaves(g1),
+                          jax.tree_util.tree_leaves(gvv)):
+            for b in range(2):
+                np.testing.assert_allclose(np.asarray(lv)[b], np.asarray(lo),
+                                           rtol=1e-6, atol=1e-7)
