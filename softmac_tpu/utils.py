@@ -27,6 +27,7 @@ def make_gif_from_numpy(images, logdir, name=None):
 def render(env, action=None, n_steps=100, interval=10):
     """Re-roll (or replay) the env and collect frames (utils.py:29-47)."""
     print("Rendering...")
+    interval = max(int(interval), 1)   # demos pass steps//50; guard short runs
     image_list = []
     if action is not None:
         env.reset()
