@@ -138,18 +138,17 @@ def batched_bench():
             "substeps_per_s": round(rate, 1)}
 
 
-def main():
-    import jax
+def build_headline_env():
+    """The headline-metric scene: the pour_vel config scaled to 1e5
+    particles (tile the packed init state with small jitter, fed through
+    the constructor's init_particles path — same grid, physics, contact),
+    active window (40, 32, 16). Shared with scripts/diag_remat.py and
+    scripts/profile_* so every measurement runs the SAME scene."""
     from softmac_tpu import SoftMacEnv, load
 
     root = Path(__file__).resolve().parent
     cfg = load(str(root / "softmac_tpu/config/demo_pour_vel_config.py"))
-    # active-window grid (exact; overflow-checked below) sized for the pour scene
     cfg.defrost(); cfg.TPU.active_window = (40, 32, 16); cfg.freeze()
-
-    # scale the pour scene to 1e5 particles: tile the packed init state with
-    # small jitter, fed through the constructor's init_particles path (same
-    # grid, physics, and contact setup)
     base_state = np.load(root / "envs/pour/pour_mpm_init_state_corotated.npy")
     reps = int(np.ceil(1e5 / base_state.shape[0]))
     rng = np.random.RandomState(0)
@@ -158,6 +157,13 @@ def main():
     tiled += np.array([0.0, 0.04, 0.0])
     env = SoftMacEnv(cfg, init_particles=tiled)
     env.reset()
+    return env
+
+
+def main():
+    import jax
+
+    env = build_headline_env()
 
     steps = 50
     actions = np.zeros((steps, env.action_dim))

@@ -89,7 +89,9 @@ def main(args):
                 env.step(a)
             acts = np.stack(acts)
             np.save(log_dir / "ckpt" / f"actions_{epoch}.npy", acts)
-            images = render(env, action=acts, n_steps=args.steps,
+            # frames come from the deployment rollout's recorded history —
+            # no second simulation pass (action=None replays nothing)
+            images = render(env, action=None, n_steps=args.steps,
                             interval=max(args.steps // 50, 1))
             make_gif_from_numpy(images, log_dir, f"epoch{epoch}")
 

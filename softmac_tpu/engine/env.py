@@ -696,6 +696,8 @@ class SoftMacEnv:
         # reference's own store-all design (mpm_simulator.py caches every
         # substep state) — skipping the replay for a faster backward when
         # T x N residuals fit HBM (e.g. the 50-step bench at 1e5 particles).
+        if remat not in ("step", "none"):
+            raise ValueError(f"remat must be 'step' or 'none', got {remat!r}")
         wrap = jax.checkpoint if remat == "step" else (lambda f: f)
         if use_sort:
             def env_step_s(prims, params, c, a):

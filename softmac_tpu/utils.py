@@ -193,6 +193,10 @@ class Controller:
                 allow_pickle=True)
 
     def load(self, path):
+        # np.save appends ".npy" when missing; mirror that here
+        path = str(path)
+        if not path.endswith(".npy") and not Path(path).exists():
+            path += ".npy"
         self.restore(tuple(np.load(path, allow_pickle=True)))
 
 

@@ -81,8 +81,8 @@ def test_sorted_carry_rollout_matches_default(pour_vel_env, monkeypatch):
     np.testing.assert_allclose(out_b["action_grad"], ref_b["action_grad"],
                                rtol=1e-9, atol=1e-12)
 
-    # store-all residual tape over the sorted carry (the bench.py TPU
-    # configuration: use_sort + remat="none")
+    # store-all residual tape over the sorted carry (use_sort +
+    # remat="none" — the short-horizon TPU configuration)
     out_n = env_s.rollout_and_grad(actions, loss_start_frame=0,
                                    loss_stride=2, remat="none")
     np.testing.assert_allclose(float(out_n["loss"]), float(ref["loss"]),
@@ -302,3 +302,10 @@ def test_controller_disk_roundtrip(tmp_path):
     c2.step(g2)
     np.testing.assert_allclose(c2.action, ref.action, atol=1e-15)
     assert c2.epoch == 2
+
+    # extension-less round trip: np.save appends ".npy"; load mirrors it
+    c.save(tmp_path / "ctl2")
+    c3 = Controller(num_actions=4, action_dim=3, steps=20, lr=1e-2,
+                    warmup=2, decay=0.9)
+    c3.load(tmp_path / "ctl2")
+    np.testing.assert_allclose(c3.action, c.action, atol=1e-15)

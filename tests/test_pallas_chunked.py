@@ -283,58 +283,74 @@ def test_p2g_chunked_vmap_batches(fam):
     """jax.vmap over the chunked kernels (fwd AND custom_vjp bwd): the
     batched multi-trajectory rollout (env.batched_rollout*) vmaps the env
     step, which on TPU contains these pallas_calls — the pallas batching
-    rule must lift them to an extra grid dim without changing results."""
-    cfg, x_vec, ps, W, WD, meta, v, C, stress, impulse = _setup(seed=5)
-    chan = _chan(cfg, ps, v, C, stress, impulse)
+    rule must lift them to an extra grid dim without changing results.
+    Both operands carry the batch dim with DISTINCT per-batch values
+    (per-trajectory positions produce per-trajectory meta in production)."""
+    setups = [_setup(seed=5), _setup(seed=9)]
+    chans, metas, singles, grads = [], [], [], []
 
-    gm1, gmom1 = fam.p2g(chan, meta)
-    chan_b = jnp.stack([chan, chan])
-    meta_b = jnp.stack([meta, meta])
-    gm_v, gmom_v = jax.vmap(fam.p2g)(chan_b, meta_b)
-    for b in range(2):
-        np.testing.assert_allclose(gm_v[b], gm1, rtol=1e-6, atol=1e-7)
-        np.testing.assert_allclose(gmom_v[b], gmom1, rtol=1e-6, atol=1e-7)
-
-    def lossf(c):
-        gm, gmom = fam.p2g(c, meta)
+    def lossf(c, m):
+        gm, gmom = fam.p2g(c, m)
         return jnp.sum(gm ** 2) + jnp.sum(gmom ** 2)
 
-    g1 = jax.grad(lossf)(chan)
-    gv = jax.vmap(jax.grad(lossf))(chan_b)
+    for cfg, x_vec, ps, W, WD, meta, v, C, stress, impulse in setups:
+        chan = _chan(cfg, ps, v, C, stress, impulse)
+        chans.append(chan); metas.append(meta)
+        singles.append(fam.p2g(chan, meta))
+        grads.append(jax.grad(lossf)(chan, meta))
+
+    chan_b, meta_b = jnp.stack(chans), jnp.stack(metas)
+    gm_v, gmom_v = jax.vmap(fam.p2g)(chan_b, meta_b)
+    gv = jax.vmap(jax.grad(lossf))(chan_b, meta_b)
     for b in range(2):
-        np.testing.assert_allclose(gv[b], g1, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(gm_v[b], singles[b][0],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(gmom_v[b], singles[b][1],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(gv[b], grads[b], rtol=1e-6, atol=1e-8)
 
 
 def test_g2p_gather_splat_vmap_batch(fam):
     """vmap batching over the remaining chunked kernels (g2p / gather /
-    splat), fwd and bwd — completes the batched-rollout kernel coverage."""
-    cfg, x_vec, ps, W, WD, meta, v, C, stress, impulse = _setup(seed=6)
-    rng = np.random.default_rng(7)
-    gv = tuple(jnp.asarray(rng.standard_normal((WY * WZ, WX)), jnp.float32)
-               for _ in range(3))
-    pv = _pv(ps)
-    vals8 = _vals8(jnp.asarray(rng.standard_normal((3, N)), jnp.float32), ps)
+    splat), fwd and bwd, with meta batched alongside (it derives from
+    per-trajectory positions in production) — completes the
+    batched-rollout kernel coverage."""
+    cases = []
+    for seed in (6, 10):
+        cfg, x_vec, ps, W, WD, meta, v, C, stress, impulse = _setup(seed=seed)
+        rng = np.random.default_rng(seed + 1)
+        gv = tuple(jnp.asarray(rng.standard_normal((WY * WZ, WX)),
+                               jnp.float32) for _ in range(3))
+        pv = _pv(ps)
+        vals8 = _vals8(jnp.asarray(rng.standard_normal((3, N)), jnp.float32),
+                       ps)
+        cases.append((meta, (pv, *gv), (vals8,)))
 
-    for fn, args in ((fam.g2p, (pv, *gv)),
-                     (fam.gather, (pv, *gv)),
-                     (fam.splat, (vals8,))):
-        one = fn(*args, meta)
-        ab = tuple(jnp.stack([a, a]) for a in args)
-        out = jax.vmap(lambda *a: fn(*a, meta))(*ab)
-        for lo, lv in zip(jax.tree_util.tree_leaves(one),
-                          jax.tree_util.tree_leaves(out)):
-            for b in range(2):
-                np.testing.assert_allclose(np.asarray(lv)[b], np.asarray(lo),
+    for fn, pick in ((fam.g2p, 1), (fam.gather, 1), (fam.splat, 2)):
+        metas = jnp.stack([c[0] for c in cases])
+        args_by_case = [c[pick] for c in cases]
+        ab = tuple(jnp.stack([args_by_case[0][i], args_by_case[1][i]])
+                   for i in range(len(args_by_case[0])))
+
+        def lossf(m, *a):
+            out = fn(*a, m)
+            return sum(jnp.sum(l ** 2)
+                       for l in jax.tree_util.tree_leaves(out))
+
+        singles = [fn(*args_by_case[b], cases[b][0]) for b in range(2)]
+        grads = [jax.grad(lossf, argnums=tuple(range(1, 1 + len(ab))))(
+            cases[b][0], *args_by_case[b]) for b in range(2)]
+        out = jax.vmap(lambda m, *a: fn(*a, m))(metas, *ab)
+        gvv = jax.vmap(jax.grad(
+            lossf, argnums=tuple(range(1, 1 + len(ab)))))(metas, *ab)
+        for b in range(2):
+            for lo, lv in zip(jax.tree_util.tree_leaves(singles[b]),
+                              jax.tree_util.tree_leaves(out)):
+                np.testing.assert_allclose(np.asarray(lv)[b],
+                                           np.asarray(lo),
                                            rtol=1e-6, atol=1e-7)
-
-        def lossf(*a):
-            out = fn(*a, meta)
-            return sum(jnp.sum(l ** 2) for l in jax.tree_util.tree_leaves(out))
-
-        g1 = jax.grad(lossf, argnums=tuple(range(len(args))))(*args)
-        gvv = jax.vmap(jax.grad(lossf, argnums=tuple(range(len(args)))))(*ab)
-        for lo, lv in zip(jax.tree_util.tree_leaves(g1),
-                          jax.tree_util.tree_leaves(gvv)):
-            for b in range(2):
-                np.testing.assert_allclose(np.asarray(lv)[b], np.asarray(lo),
+            for lo, lv in zip(jax.tree_util.tree_leaves(grads[b]),
+                              jax.tree_util.tree_leaves(gvv)):
+                np.testing.assert_allclose(np.asarray(lv)[b],
+                                           np.asarray(lo),
                                            rtol=1e-6, atol=1e-7)

@@ -135,80 +135,92 @@ def test_particle_fused_grads_match_xla(monkeypatch):
         np.testing.assert_allclose(a / scale, b / scale, rtol=2e-3, atol=2e-3)
 
 
+def _perturb_body(scene):
+    """Distinct body state for the second batch entry (the _scene helper
+    hardcodes bp/bq/bv/bw)."""
+    prim, bp, bq, bv, bw, x, v = scene
+    q = np.array([0.8, -0.15, 0.25, 0.1]); q /= np.linalg.norm(q)
+    return (prim, bp + 0.04, jnp.asarray(q, jnp.float32),
+            1.5 * bv + 0.02, -0.7 * bw, x, v)
+
+
 def test_particle_fused_vmap_batches(monkeypatch):
     """jax.vmap over the fused particle-contact kernel (fwd + custom_vjp
     bwd): the batched multi-trajectory rollout vmaps the env step, which on
     TPU reaches this pallas_call — the batching rule must lift it to an
-    extra grid dim without changing results."""
+    extra grid dim without changing results. EVERY per-trajectory operand
+    is batched (body state included: bodies evolve per trajectory in the
+    production rollout), with DISTINCT values per batch entry."""
     monkeypatch.setattr(pc, "_INTERPRET", True)
     pc._particle_factory.cache_clear()
-    prim, bp, bq, bv, bw, x, v = _scene(n=500, seed=12)
+    scenes = [_scene(n=500, seed=12), _perturb_body(_scene(n=500, seed=14))]
     fr = jnp.float32(0.4)
     kw = dict(p_mass=2e-4, dt=1e-4)
+    prim = scenes[0][0]
 
-    imp1, wr1 = pc.collide_particle_fused(prim, bp, bq, bv, bw, fr, x, v,
-                                          **kw)
-    xb = tuple(jnp.stack([x[d], x[d]]) for d in range(3))
-    vb = tuple(jnp.stack([v[d], v[d]]) for d in range(3))
+    def call(bp_, bq_, bv_, bw_, x_, v_):
+        return pc.collide_particle_fused(prim, bp_, bq_, bv_, bw_, fr,
+                                         x_, v_, **kw)
 
-    def call(x_, v_):
-        return pc.collide_particle_fused(prim, bp, bq, bv, bw, fr, x_, v_,
-                                         **kw)
-
-    imp_v, wr_v = jax.vmap(call)(xb, vb)
-    for b in range(2):
-        for d in range(3):
-            np.testing.assert_allclose(imp_v[d][b], imp1[d],
-                                       rtol=1e-6, atol=1e-9)
-        np.testing.assert_allclose(wr_v[b], wr1, rtol=1e-6, atol=1e-8)
-
-    def lossf(x_, v_):
-        imp, wr = call(x_, v_)
+    def lossf(*args):
+        imp, wr = call(*args)
         return sum(jnp.sum(imp[d] ** 2) for d in range(3)) + jnp.sum(wr ** 2)
 
-    g1 = jax.grad(lossf, argnums=(0, 1))(x, v)
-    gv = jax.vmap(jax.grad(lossf, argnums=(0, 1)))(xb, vb)
-    for a, b in zip(jax.tree_util.tree_leaves(gv),
-                    jax.tree_util.tree_leaves(g1)):
-        for bb in range(2):
-            np.testing.assert_allclose(np.asarray(a)[bb], np.asarray(b),
+    singles = [call(*s[1:]) for s in scenes]
+    grads = [jax.grad(lossf, argnums=tuple(range(6)))(*s[1:])
+             for s in scenes]
+    batched_args = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                                scenes[0][1:], scenes[1][1:])
+    out_v = jax.vmap(call)(*batched_args)
+    gv = jax.vmap(jax.grad(lossf, argnums=tuple(range(6))))(*batched_args)
+    for b in range(2):
+        for lo, lv in zip(jax.tree_util.tree_leaves(singles[b]),
+                          jax.tree_util.tree_leaves(out_v)):
+            np.testing.assert_allclose(np.asarray(lv)[b], np.asarray(lo),
                                        rtol=1e-6, atol=1e-8)
+        for lo, lv in zip(jax.tree_util.tree_leaves(grads[b]),
+                          jax.tree_util.tree_leaves(gv)):
+            # f32 association-order slack between the batched and
+            # unbatched lowerings of the bwd kernel
+            np.testing.assert_allclose(np.asarray(lv)[b], np.asarray(lo),
+                                       rtol=1e-5, atol=1e-7)
 
 
 def test_mixed_fused_vmap_batches(monkeypatch):
     """jax.vmap over the fused mixed-contact kernel (fwd + custom_vjp bwd):
     the door demo's --replicas robustification vmaps the env step on TPU,
-    which reaches this pallas_call."""
+    which reaches this pallas_call. Every per-trajectory operand is
+    batched with distinct values (body state included)."""
     monkeypatch.setattr(pc, "_INTERPRET", True)
     pc._fused_factory.cache_clear()
-    prim, bp, bq, bv, bw, x, v = _scene(n=500, seed=13)
+    scenes = [_scene(n=500, seed=13), _perturb_body(_scene(n=500, seed=15))]
     fr, so = jnp.float32(0.4), jnp.float32(666.0)
     kw = dict(p_mass=2e-4, dt=1e-4, push_cap=None)
+    prim = scenes[0][0]
 
-    pv1, wr1 = pc.collide_mixed_fused(prim, bp, bq, bv, bw, fr, so, x, v,
-                                      0.25, **kw)
-    xb = tuple(jnp.stack([x[d], x[d]]) for d in range(3))
-    vb = tuple(jnp.stack([v[d], v[d]]) for d in range(3))
+    def call(bp_, bq_, bv_, bw_, x_, v_):
+        return pc.collide_mixed_fused(prim, bp_, bq_, bv_, bw_, fr, so,
+                                      x_, v_, 0.25, **kw)
 
-    def call(x_, v_):
-        return pc.collide_mixed_fused(prim, bp, bq, bv, bw, fr, so, x_, v_,
-                                      0.25, **kw)
-
-    pv_v, wr_v = jax.vmap(call)(xb, vb)
-    for b in range(2):
-        for d in range(3):
-            np.testing.assert_allclose(pv_v[d][b], pv1[d],
-                                       rtol=1e-6, atol=1e-8)
-        np.testing.assert_allclose(wr_v[b], wr1, rtol=1e-6, atol=1e-8)
-
-    def lossf(x_, v_):
-        pv, wr = call(x_, v_)
+    def lossf(*args):
+        pv, wr = call(*args)
         return sum(jnp.sum(pv[d] ** 2) for d in range(3)) + jnp.sum(wr ** 2)
 
-    g1 = jax.grad(lossf, argnums=(0, 1))(x, v)
-    gv = jax.vmap(jax.grad(lossf, argnums=(0, 1)))(xb, vb)
-    for a, b in zip(jax.tree_util.tree_leaves(gv),
-                    jax.tree_util.tree_leaves(g1)):
-        for bb in range(2):
-            np.testing.assert_allclose(np.asarray(a)[bb], np.asarray(b),
+    singles = [call(*s[1:]) for s in scenes]
+    grads = [jax.grad(lossf, argnums=tuple(range(6)))(*s[1:])
+             for s in scenes]
+    batched_args = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                                scenes[0][1:], scenes[1][1:])
+    out_v = jax.vmap(call)(*batched_args)
+    gv = jax.vmap(jax.grad(lossf, argnums=tuple(range(6))))(*batched_args)
+    for b in range(2):
+        for lo, lv in zip(jax.tree_util.tree_leaves(singles[b]),
+                          jax.tree_util.tree_leaves(out_v)):
+            np.testing.assert_allclose(np.asarray(lv)[b], np.asarray(lo),
                                        rtol=1e-6, atol=1e-8)
+        for lo, lv in zip(jax.tree_util.tree_leaves(grads[b]),
+                          jax.tree_util.tree_leaves(gv)):
+            # f32 association-order slack between the batched and
+            # unbatched lowerings of the bwd kernel
+            np.testing.assert_allclose(np.asarray(lv)[b], np.asarray(lo),
+                                       rtol=1e-5, atol=1e-7)
