@@ -367,7 +367,7 @@ class SoftMacEnv:
         program as constants (compile-time, executable-size, and
         persistent-cache bloat)."""
         if self.has_cloth:
-            return self._env_step_cloth(carry, action)
+            return self._env_step_cloth(carry, action, params=params)
         mpm, bodies, rigid = carry
         cfg = self.mpm_cfg
 
@@ -412,17 +412,22 @@ class SoftMacEnv:
 
         return (mpm, bodies, rigid), (overflow, ext_f)
 
-    def _env_step_cloth(self, carry, action):
+    def _env_step_cloth(self, carry, action, params=None):
         """One coupled MPM+cloth window (soft_cloth taichi_env.py:74-96):
         N substeps with contact-pair/penetration updates against the forecast
         cloth state, then one cloth PD step consuming the averaged vertex
-        forces, then contact re-resolution against the moved cloth."""
+        forces, then contact re-resolution against the moved cloth.
+
+        ``params`` (the per-particle MPMParams) ride as a traced argument
+        for jitted callers — and MUST be the shard-local arrays under
+        particle-sharded execution (parallel/sharding.py)."""
         from softmac_tpu.engine.cloth_contact import (
             get_contact_pair, trace_penetration_after_cloth,
             trace_penetration_after_mpm)
 
         mpm, cloth, pen = carry
         cfg = self.mpm_cfg
+        params = self.mpm_params if params is None else params
 
         mpm_action = None
         cloth_action = None
@@ -438,7 +443,7 @@ class SoftMacEnv:
             mpm_s, pen_s = c
             x_prev = (mpm_s.x[0], mpm_s.x[1], mpm_s.x[2])
             mpm_s, extv, aux = mpm_mod.substep_cloth(
-                cfg, self.mpm_params, self.cloth_params, mpm_s,
+                cfg, params, self.cloth_params, mpm_s,
                 cloth_xf, cloth_vf, pen_s, k, mpm_action,
                 axis_name=self.particle_axis_name)
             x_new = (mpm_s.x[0], mpm_s.x[1], mpm_s.x[2])

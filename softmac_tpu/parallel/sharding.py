@@ -73,13 +73,22 @@ def build_small_pour_env(n_particles: int = 512):
 
 
 def carry_spec(env, dp_axis: Optional[str], sp_axis: str):
-    """PartitionSpecs for the env carry: particle state sharded over sp,
-    rigid/body state replicated (optionally all batched over a leading dp)."""
+    """PartitionSpecs for the env carry: particle state sharded over sp;
+    rigid/body state — or, for cloth envs, the (V, 3) cloth state —
+    replicated, the per-particle penetration side-state sharded
+    (optionally all batched over a leading dp)."""
     lead = (dp_axis,) if dp_axis else ()
     mpm_spec = MPMState(
         x=P(*lead, None, sp_axis), v=P(*lead, None, sp_axis),
         C=P(*lead, None, None, sp_axis), F=P(*lead, None, None, sp_axis))
     rep = P(*lead) if lead else P()
+    if getattr(env, "has_cloth", False):
+        from softmac_tpu.engine.cloth import ClothState
+        from softmac_tpu.engine.cloth_contact import PenetrationState
+        cloth_spec = ClothState(x=rep, v=rep)
+        pen_spec = PenetrationState(contact_id=P(*lead, sp_axis),
+                                    penetration=P(*lead, sp_axis))
+        return (mpm_spec, cloth_spec, pen_spec)
     body_spec = BodyState(pos=rep, quat=rep, v=rep, w=rep)
     rigid_spec = RigidState(q=rep, qd=rep)
     return (mpm_spec, body_spec, rigid_spec)
@@ -103,7 +112,7 @@ def _scan_env_steps(env, prims, params_local, carry0, actions):
     from softmac_tpu.engine import mpm as mpm_mod
 
     cfg = env.mpm_cfg
-    if not mpm_mod.sorted_transfers_wanted(cfg, env.dtype):
+    if env.has_cloth or not mpm_mod.sorted_transfers_wanted(cfg, env.dtype):
         def step(c, a):
             c, _ = env._env_step_fn(c, a, params=params_local, prims=prims)
             return c, None

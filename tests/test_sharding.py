@@ -133,3 +133,42 @@ def test_sharded_rollout_articulated_tree(tmp_path):
                                rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(out[2].qd), np.asarray(ref[2].qd),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_cloth_rollout_matches_single_device():
+    """Cloth-coupled env under shard_map: particles sharded over 8 devices
+    (per-particle MPMParams local, contact_id/penetration side-state
+    sharded), cloth vertex state replicated, per-particle vertex contact
+    forces psum'd (mpm.substep_cloth axis_name) — must match the 1-device
+    rollout exactly."""
+    from softmac_tpu import SoftMacEnv, load
+    cfg = load("softmac_tpu/config/demo_hit_config.py")
+    env = SoftMacEnv(cfg)
+    control_idx = np.full(env.n_particles, -1, np.int32)
+    control_idx[:4000] = 0   # the chopstick cylinders (demo_hit setup)
+    env.set_control_idx(control_idx)
+
+    n_steps = 2
+    carry0 = env._initial_carry()
+    actions = jnp.zeros((n_steps, env.action_dim), env.dtype)
+    actions = actions.at[:, 2].set(-8.0)
+
+    ref = jax.jit(lambda c, a: _unsharded_rollout(env, c, a))(carry0, actions)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    rollout = sh.make_sharded_rollout(env, mesh, n_steps)
+    out = rollout(env.mpm_params, carry0, actions, env.prims)
+
+    np.testing.assert_allclose(np.asarray(out[0].x), np.asarray(ref[0].x),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out[0].v), np.asarray(ref[0].v),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out[1].x), np.asarray(ref[1].x),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out[1].v), np.asarray(ref[1].v),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(out[2].contact_id),
+                                  np.asarray(ref[2].contact_id))
+    np.testing.assert_array_equal(np.asarray(out[2].penetration),
+                                  np.asarray(ref[2].penetration))
+    assert np.isfinite(np.asarray(out[0].x)).all()
