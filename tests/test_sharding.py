@@ -172,3 +172,31 @@ def test_sharded_cloth_rollout_matches_single_device():
     np.testing.assert_array_equal(np.asarray(out[2].penetration),
                                   np.asarray(ref[2].penetration))
     assert np.isfinite(np.asarray(out[0].x)).all()
+
+
+def test_sharded_cloth_train_step_runs():
+    """Full dp x sp training step on the cloth-coupled scene: dp-batched
+    trajectories x sp-sharded particles through the production cloth env
+    step (substep_cloth psums + replicated PD cloth solve), chamfer loss,
+    grad, update — finite loss, gradients reach the MPM control actions."""
+    from softmac_tpu import SoftMacEnv, load
+    cfg = load("softmac_tpu/config/demo_hit_config.py")
+    env = SoftMacEnv(cfg)
+    control_idx = np.full(env.n_particles, -1, np.int32)
+    control_idx[:4000] = 0
+    env.set_control_idx(control_idx)
+
+    dp, sp = 2, 4
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(dp, sp), ("dp", "sp"))
+    carry0 = env._initial_carry()
+    batched = jax.tree.map(
+        lambda s: jnp.broadcast_to(s[None], (dp,) + s.shape), carry0)
+    actions = jnp.zeros((dp, 1, env.action_dim), env.dtype)
+    rng = np.random.RandomState(0)
+    target = jnp.asarray(0.45 + 0.1 * rng.rand(64, 3), env.dtype)
+
+    step = sh.make_sharded_train_step(env, mesh, lr=1e-3)
+    loss0, actions1 = step(env.mpm_params, batched, actions, target,
+                           env.prims)
+    assert np.isfinite(float(loss0))
+    assert not np.allclose(np.asarray(actions1), 0.0)  # gradients flowed
