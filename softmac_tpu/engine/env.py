@@ -280,8 +280,8 @@ class SoftMacEnv:
         # prims/params ride as traced jit ARGUMENTS (not closure constants):
         # the SDF tables are tens of MB per primitive and would otherwise be
         # embedded in every compiled step/rollout executable
-        return jax.jit(lambda c, a, prims, params: self._env_step_fn(
-            c, a, params=params, prims=prims))
+        return jax.jit(lambda c, a, prims, params, cparams: self._env_step_fn(
+            c, a, params=params, prims=prims, cloth_params=cparams))
 
     # ==================================================================
     # scene helpers
@@ -357,17 +357,35 @@ class SoftMacEnv:
     # ==================================================================
     # one env step (used by both the facade and the rollout)
     # ==================================================================
+    def _cloth_params_arg(self):
+        """cloth_params as a traced-argument value (None for rigid envs —
+        a static pytree-empty placeholder under jit)."""
+        return self.cloth_params if self.has_cloth else None
+
+    def use_sorted_carry(self) -> bool:
+        """Whether rollouts ride the sorted-carry path (TPU chunked
+        kernels). Cloth carries are excluded: the sorted branch permutes
+        only MPMState and would leave the per-particle penetration
+        side-state unpermuted. Single source of truth for this predicate
+        (also used by parallel/sharding.py)."""
+        return (not self.has_cloth) and mpm_mod.sorted_transfers_wanted(
+            self.mpm_cfg, self.dtype)
+
     def _env_step_fn(self, carry, action, params=None, assume_sorted=False,
-                     prims=None):
+                     prims=None, cloth_params=None):
         """(carry, action) -> (carry, (overflow, ext_f)).
 
-        ``params``/``prims`` default to the env's own (concrete) arrays;
-        jitted callers pass them as TRACED arguments instead so the SDF
-        tables (tens of MB per primitive) are not baked into every compiled
-        program as constants (compile-time, executable-size, and
-        persistent-cache bloat)."""
+        ``params``/``prims``/``cloth_params`` default to the env's own
+        (concrete) arrays; jitted callers pass them as TRACED arguments
+        instead so the SDF tables (tens of MB per primitive) and the cloth
+        adjacency tables are not baked into every compiled program as
+        constants (compile-time, executable-size, and persistent-cache
+        bloat)."""
+        params = self.mpm_params if params is None else params
+        prims = self.prims if prims is None else prims
         if self.has_cloth:
-            return self._env_step_cloth(carry, action, params=params)
+            return self._env_step_cloth(carry, action, params=params,
+                                        cloth_params=cloth_params)
         mpm, bodies, rigid = carry
         cfg = self.mpm_cfg
 
@@ -382,9 +400,6 @@ class SoftMacEnv:
         # (_build_rollout): particle arrays are then pre-sorted by y-cell and
         # the chunked Pallas kernels engage. Standalone callers (step(),
         # sharding, policy) use the default original-order path.
-        params = self.mpm_params if params is None else params
-        prims = self.prims if prims is None else prims
-
         def sub(c, k):
             mpm_s, bod = c
             mpm_s, extf, aux = mpm_mod.substep(
@@ -412,15 +427,16 @@ class SoftMacEnv:
 
         return (mpm, bodies, rigid), (overflow, ext_f)
 
-    def _env_step_cloth(self, carry, action, params=None):
+    def _env_step_cloth(self, carry, action, params=None, cloth_params=None):
         """One coupled MPM+cloth window (soft_cloth taichi_env.py:74-96):
         N substeps with contact-pair/penetration updates against the forecast
         cloth state, then one cloth PD step consuming the averaged vertex
         forces, then contact re-resolution against the moved cloth.
 
-        ``params`` (the per-particle MPMParams) ride as a traced argument
-        for jitted callers — and MUST be the shard-local arrays under
-        particle-sharded execution (parallel/sharding.py)."""
+        ``params`` (the per-particle MPMParams — MUST be the shard-local
+        arrays under particle-sharded execution, parallel/sharding.py) and
+        ``cloth_params`` (faces + MB-scale adjacency tables) ride as traced
+        arguments for jitted callers."""
         from softmac_tpu.engine.cloth_contact import (
             get_contact_pair, trace_penetration_after_cloth,
             trace_penetration_after_mpm)
@@ -428,6 +444,7 @@ class SoftMacEnv:
         mpm, cloth, pen = carry
         cfg = self.mpm_cfg
         params = self.mpm_params if params is None else params
+        cparams = self.cloth_params if cloth_params is None else cloth_params
 
         mpm_action = None
         cloth_action = None
@@ -443,14 +460,14 @@ class SoftMacEnv:
             mpm_s, pen_s = c
             x_prev = (mpm_s.x[0], mpm_s.x[1], mpm_s.x[2])
             mpm_s, extv, aux = mpm_mod.substep_cloth(
-                cfg, params, self.cloth_params, mpm_s,
+                cfg, params, cparams, mpm_s,
                 cloth_xf, cloth_vf, pen_s, k, mpm_action,
                 axis_name=self.particle_axis_name)
             x_new = (mpm_s.x[0], mpm_s.x[1], mpm_s.x[2])
-            cid = get_contact_pair(self.cloth_params, cloth_xf, x_new,
+            cid = get_contact_pair(cparams, cloth_xf, x_new,
                                    pen_s.penetration)
             pen_s = trace_penetration_after_mpm(
-                self.cloth_params, cloth_xf, x_new, x_prev, pen_s, cid)
+                cparams, cloth_xf, x_new, x_prev, pen_s, cid)
             pen_s = jax.lax.stop_gradient(pen_s)
             return (mpm_s, pen_s), (extv, aux["window_overflow"])
 
@@ -463,10 +480,10 @@ class SoftMacEnv:
 
         # re-resolve contact pairs against the moved cloth (taichi_env:88-90)
         x_now = (mpm.x[0], mpm.x[1], mpm.x[2])
-        cid2 = get_contact_pair(self.cloth_params, cloth.x, x_now,
+        cid2 = get_contact_pair(cparams, cloth.x, x_now,
                                 pen.penetration)
         pen = trace_penetration_after_cloth(
-            self.cloth_params, cloth.x, cloth_xf, x_now, pen, cid2)
+            cparams, cloth.x, cloth_xf, x_now, pen, cid2)
         pen = jax.lax.stop_gradient(pen)
 
         return (mpm, cloth, pen), (overflow, ext_vertex_f)
@@ -500,8 +517,9 @@ class SoftMacEnv:
             action = np.zeros((max(self.action_dim, 1),))
         action = jnp.asarray(np.asarray(action, np.float64), self.dtype)
         self.action_list.append(np.asarray(action))
-        self._carry, (_, ext_f) = self._step_jit(self._carry, action,
-                                         self.prims, self.mpm_params)
+        self._carry, (_, ext_f) = self._step_jit(
+            self._carry, action, self.prims, self.mpm_params,
+            self._cloth_params_arg())
         self.last_ext_f = ext_f
         self.cur += self.substeps
         if self.keep_history:
@@ -688,8 +706,7 @@ class SoftMacEnv:
         # by the chunked kernels' 16-row tile slack + overflow flag), and
         # unsorted once at rollout exit. Permuting per env step instead costs
         # ~45 ms/step at 1e5 particles (see mpm.sorted_transfers_wanted).
-        use_sort = (not self.has_cloth) and mpm_mod.sorted_transfers_wanted(
-            self.mpm_cfg, self.dtype)
+        use_sort = self.use_sorted_carry()
 
         # prims/params enter as traced arguments of the jitted rollout (not
         # closure constants — see _env_step_fn); the scan bodies bind them
@@ -705,15 +722,16 @@ class SoftMacEnv:
             raise ValueError(f"remat must be 'step' or 'none', got {remat!r}")
         wrap = jax.checkpoint if remat == "step" else (lambda f: f)
         if use_sort:
-            def env_step_s(prims, params, c, a):
+            def env_step_s(prims, params, cparams, c, a):
                 core, params_s, perm = c
                 core, out = self._env_step_fn(
                     core, a, params=params_s, assume_sorted=True, prims=prims)
                 return (core, params_s, perm), out
             env_step = wrap(env_step_s)
         else:
-            def env_step_d(prims, params, c, a):
-                return self._env_step_fn(c, a, params=params, prims=prims)
+            def env_step_d(prims, params, cparams, c, a):
+                return self._env_step_fn(c, a, params=params, prims=prims,
+                                         cloth_params=cparams)
             env_step = wrap(env_step_d)
 
         def _resort(carry):
@@ -724,7 +742,7 @@ class SoftMacEnv:
             return ((mpm_mod.permute_state(mpm, q), bodies, rigid),
                     mpm_mod.permute_params(params_s, q), perm[q])
 
-        def block_fn(prims, params, carry, action_block):
+        def block_fn(prims, params, cparams, carry, action_block):
             if grad_clip is not None:
                 if use_sort:
                     core, params_s, perm = carry
@@ -735,7 +753,7 @@ class SoftMacEnv:
             if use_sort:
                 carry = _resort(carry)
             carry, (ovf, _) = jax.lax.scan(
-                functools.partial(env_step, prims, params),
+                functools.partial(env_step, prims, params, cparams),
                 carry, action_block)
             n_pen = jnp.zeros((), jnp.int32)
             if self.has_cloth:
@@ -781,18 +799,19 @@ class SoftMacEnv:
                 seg_blocks -= 1
         n_segments = n_blocks // seg_blocks
 
-        def segment_fn(prims, params, carry, action_seg):
+        def segment_fn(prims, params, cparams, carry, action_seg):
             carry, ys = jax.lax.scan(
-                functools.partial(block_fn, prims, params), carry, action_seg)
+                functools.partial(block_fn, prims, params, cparams),
+                carry, action_seg)
             return jax.lax.stop_gradient(carry), ys
 
-        def rollout(actions, carry0, prims, params):
-            bf = functools.partial(block_fn, prims, params)
+        def rollout(actions, carry0, prims, params, cparams):
+            bf = functools.partial(block_fn, prims, params, cparams)
             carry_run = _sort_in(carry0, params) if use_sort else carry0
             if n_segments > 1:
                 ab = actions.reshape(n_segments, seg_blocks, block, -1)
                 carry, (samples, ovf, npen) = jax.lax.scan(
-                    functools.partial(segment_fn, prims, params),
+                    functools.partial(segment_fn, prims, params, cparams),
                     carry_run, ab)
                 samples = jax.tree.map(
                     lambda s: s.reshape((n_blocks,) + s.shape[2:]), samples)
@@ -851,16 +870,18 @@ class SoftMacEnv:
             return loss_total, (terms_acc, carry)
 
         if not with_grad:
-            return jax.jit(jax.vmap(rollout, in_axes=(0, 0, None, None))
+            return jax.jit(jax.vmap(rollout, in_axes=(0, 0, None, None, None))
                            if batched else rollout)
 
-        def rollout_grad(actions, carry0, prims, params):
+        def rollout_grad(actions, carry0, prims, params, cparams):
             (loss, (terms, carry)), g = jax.value_and_grad(
-                rollout, has_aux=True)(actions, carry0, prims, params)
+                rollout, has_aux=True)(actions, carry0, prims, params,
+                                       cparams)
             return {"loss": loss, "terms": terms, "carry": carry,
                     "action_grad": g}
 
-        return jax.jit(jax.vmap(rollout_grad, in_axes=(0, 0, None, None))
+        return jax.jit(jax.vmap(rollout_grad,
+                                in_axes=(0, 0, None, None, None))
                        if batched else rollout_grad)
 
     def _get_rollout(self, n_steps, loss_start_frame, loss_stride, with_grad,
@@ -908,7 +929,8 @@ class SoftMacEnv:
         ctx = self._maybe_profile()
         with ctx:
             loss, (terms, carry) = fn(actions, self._initial_carry(),
-                                      self.prims, self.mpm_params)
+                                      self.prims, self.mpm_params,
+                                      self._cloth_params_arg())
             if type(ctx).__name__ != "nullcontext":
                 jax.block_until_ready(loss)  # trace must span the device work
         self._check_overflow(terms)
@@ -922,7 +944,7 @@ class SoftMacEnv:
         ctx = self._maybe_profile()
         with ctx:
             out = fn(actions, self._initial_carry(), self.prims,
-                     self.mpm_params)
+                     self.mpm_params, self._cloth_params_arg())
             if type(ctx).__name__ != "nullcontext":
                 jax.block_until_ready(out["loss"])
         self._check_overflow(out["terms"])
@@ -972,7 +994,8 @@ class SoftMacEnv:
                                False, bptt_window, grad_clip, batched=True,
                                remat=remat)
         loss, (terms, carry) = fn(actions, self._batched_carry(actions, carry0),
-                                  self.prims, self.mpm_params)
+                                  self.prims, self.mpm_params,
+                                  self._cloth_params_arg())
         return {"loss": loss, "terms": terms, "carry": carry}
 
     def batched_rollout_and_grad(self, actions, carry0=None,
@@ -985,7 +1008,7 @@ class SoftMacEnv:
                                True, bptt_window, grad_clip, batched=True,
                                remat=remat)
         return fn(actions, self._batched_carry(actions, carry0),
-                  self.prims, self.mpm_params)
+                  self.prims, self.mpm_params, self._cloth_params_arg())
 
     # ==================================================================
     # rendering

@@ -112,7 +112,7 @@ def _scan_env_steps(env, prims, params_local, carry0, actions):
     from softmac_tpu.engine import mpm as mpm_mod
 
     cfg = env.mpm_cfg
-    if env.has_cloth or not mpm_mod.sorted_transfers_wanted(cfg, env.dtype):
+    if not env.use_sorted_carry():
         def step(c, a):
             c, _ = env._env_step_fn(c, a, params=params_local, prims=prims)
             return c, None
