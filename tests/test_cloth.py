@@ -178,3 +178,34 @@ def test_cloth_rollout_terms_report_penetration():
     assert "n_penetration" in out["terms"]
     n = int(out["terms"]["n_penetration"])
     assert 0 <= n <= env.n_particles
+
+
+def test_cloth_batched_replica_rollout_matches_unbatched():
+    """demo_taco --replicas path on a cloth env: batched_rollout vmaps the
+    cloth-coupled env step (penetration side-state batched along with the
+    particle state); replica 0 of a jittered batch must reproduce the
+    unbatched rollout exactly."""
+    import jax
+    from softmac_tpu import SoftMacEnv, load
+    cfg = load("softmac_tpu/config/demo_hit_config.py")
+    env = SoftMacEnv(cfg)
+    control_idx = np.full(env.n_particles, -1, np.int32)
+    control_idx[:4000] = 0
+    env.set_control_idx(control_idx)
+
+    actions = np.zeros((2, env.action_dim))
+    actions[:, 2] = -8.0
+    ref = env.rollout(actions, loss_stride=env.substeps)
+
+    carry2 = env.jittered_carry(2, sigma=3e-4)   # replica 0 stays exact
+    out = env.batched_rollout(np.stack([actions, actions]), carry0=carry2,
+                              loss_stride=env.substeps)
+    assert np.isfinite(np.asarray(out["loss"])).all()
+    np.testing.assert_allclose(float(out["loss"][0]), float(ref["loss"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["carry"][0].x[0]),
+                               np.asarray(ref["carry"][0].x),
+                               atol=1e-12)
+    # the jittered replica diverges (it is a different trajectory)
+    assert not np.allclose(np.asarray(out["carry"][0].x[1]),
+                           np.asarray(ref["carry"][0].x))
