@@ -35,6 +35,9 @@ def main(args):
     env.set_primitives_contact([False, True, True])  # palm contact off
 
     actions0 = get_init_actions(args, choice=2)
+    if args.init_actions:
+        # resume from a saved per-epoch trajectory checkpoint
+        actions0 = np.asarray(np.load(args.init_actions))[: args.steps]
     controller = Controller(
         num_actions=args.steps // 10, action_dim=2, steps=args.steps,
         lr=1e-1, warmup=5, decay=0.99, betas=(0.5, 0.999),
@@ -87,6 +90,8 @@ if __name__ == "__main__":
                         default=str(Path(__file__).resolve().parents[1]
                                     / "softmac_tpu/config/demo_grip_config.py"))
     parser.add_argument("--render-interval", type=int, default=5)
+    parser.add_argument("--init-actions", type=str, default=None,
+                        help="resume from a saved ckpt/actions_*.npy")
     parser.add_argument("--epochs", type=int, default=15)
     parser.add_argument("--steps", type=int, default=400)
     args = parser.parse_args()

@@ -41,7 +41,12 @@ def main(args):
         pass
     env.rigid_model.set_transform_action(True)  # world-frame actions
 
-    actions0 = get_init_actions(args, env, choice=0, adjust=True)
+    if args.init_actions:
+        # resume from a saved per-epoch checkpoint (already adjusted —
+        # ckpt trajectories include the gravity/contact compensation)
+        actions0 = np.asarray(np.load(args.init_actions))[: args.steps]
+    else:
+        actions0 = get_init_actions(args, env, choice=0, adjust=True)
     n_act = args.steps // 20
     # two optimizers with different lrs, as in the reference (torque 0.3x)
     torque_ctl = Controller(n_act, 3, args.steps, lr=1e-2 * 0.3, warmup=5,
@@ -122,6 +127,8 @@ if __name__ == "__main__":
                         default=str(Path(__file__).resolve().parents[1]
                                     / "softmac_tpu/config/demo_pour_config.py"))
     parser.add_argument("--render-interval", type=int, default=5)
+    parser.add_argument("--init-actions", type=str, default=None,
+                        help="resume from a saved ckpt/actions_*.npy")
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--safeguard", action="store_true",

@@ -91,8 +91,13 @@ def main(args):
         pass
     env.set_control_mode("cloth")
 
+    actions0 = get_init_actions(args, env, choice=0)
+    if args.init_actions:
+        # resume from a saved per-epoch trajectory checkpoint (the delta
+        # parameterization is rebuilt from the absolute trajectory)
+        actions0 = np.asarray(np.load(args.init_actions))[: args.steps]
     controller = DeltaController(
-        steps=args.steps, actions_init=get_init_actions(args, env, choice=0),
+        steps=args.steps, actions_init=actions0,
         mpm_scale=env.mpm_scale, lr=5e-4, warmup=5, decay=0.95)
 
     loss_log = []
@@ -161,6 +166,8 @@ if __name__ == "__main__":
                         default=str(Path(__file__).resolve().parents[1]
                                     / "softmac_tpu/config/demo_taco_config.py"))
     parser.add_argument("--render-interval", type=int, default=5)
+    parser.add_argument("--init-actions", type=str, default=None,
+                        help="resume from a saved ckpt/actions_*.npy")
     parser.add_argument("--epochs", type=int, default=25)
     parser.add_argument("--steps", type=int, default=200)
     parser.add_argument("--replicas", type=int, default=1,
