@@ -82,6 +82,9 @@ def main(args):
         return loss, g, out
 
     best = np.asarray(get_init_actions(args, choice=1), np.float64)
+    if args.init_actions:
+        # resume the line search from a saved ckpt/actions_*.npy
+        best = np.asarray(np.load(args.init_actions), np.float64)[: args.steps]
     best_loss, g, out = grad_at(best)
     lr_scale = 1.0
 
@@ -144,6 +147,8 @@ if __name__ == "__main__":
                         default=str(Path(__file__).resolve().parents[1]
                                     / "softmac_tpu/config/demo_door_config.py"))
     parser.add_argument("--render-interval", type=int, default=5)
+    parser.add_argument("--init-actions", type=str, default=None,
+                        help="resume from a saved ckpt/actions_*.npy")
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--replicas", type=int, default=1,
