@@ -87,6 +87,29 @@ def tpu_oracle_check():
 
     out_w = jax.block_until_ready(run_w(state))
 
+    # same program again through the y-chunked sorted-carry family (the
+    # production rollout path: wy >= 24 + assume_sorted engages
+    # ops/pallas_chunked.py on TPU). Re-sorted every substep here so the
+    # kernels' 16-row y-window assertion holds; per-particle params are
+    # uniform in this scene, so only the state needs permuting. Unsorts via
+    # a carried id map before comparing against the oracle.
+    cfg_c = dataclasses.replace(cfg, active_window=(24, 32, 16))
+
+    @jax.jit
+    def run_c(s):
+        def body(carry, _):
+            s, ids = carry
+            perm, _ = mpm.sort_perm(cfg_c, s.x)
+            s = mpm.permute_state(s, perm)
+            s, _, _ = mpm.substep(cfg_c, params, (), s, bodies, 0,
+                                  assume_sorted=True)
+            return (s, ids[perm]), None
+        (s, ids), _ = jax.lax.scan(
+            body, (s, jnp.arange(s.x.shape[1])), None, length=10)
+        return mpm.permute_state(s, jnp.argsort(ids))
+
+    out_c = jax.block_until_ready(run_c(state))
+
     x, v, C, F = x0.copy(), np.zeros((n, 3)), np.zeros((n, 3, 3)), \
         np.tile(np.eye(3), (n, 1, 1))
     for _ in range(10):
@@ -101,10 +124,14 @@ def tpu_oracle_check():
     # matmul precision class) vs the f64 oracle
     err_x_w = float(np.abs(np.asarray(out_w.x).T - x).max())
     err_v_w = float(np.abs(np.asarray(out_w.v).T - v).max())
+    err_x_c = float(np.abs(np.asarray(out_c.x).T - x).max())
+    err_v_c = float(np.abs(np.asarray(out_c.v).T - v).max())
     ok = bool(err_x < 1e-5 and err_v < 1e-4
-              and err_x_w < 1e-4 and err_v_w < 2e-3)
+              and err_x_w < 1e-4 and err_v_w < 2e-3
+              and err_x_c < 1e-4 and err_v_c < 2e-3)
     return ok, {"err_x": err_x, "err_v": err_v,
-                "err_x_fused": err_x_w, "err_v_fused": err_v_w}
+                "err_x_fused": err_x_w, "err_v_fused": err_v_w,
+                "err_x_chunked": err_x_c, "err_v_chunked": err_v_c}
 
 
 def batched_bench():
