@@ -190,6 +190,26 @@ def build_headline_env():
 def main():
     import jax
 
+    # If the accelerator tunnel is down, the first backend touch can hang
+    # indefinitely in the PJRT client (CLAUDE.md outage notes) — a signal
+    # handler would never run because the main thread never returns to the
+    # interpreter. Probe in a subprocess with a hard timeout and fail fast
+    # with a structured record instead of eating the whole bench window.
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=300, capture_output=True)
+        probe_ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        probe_ok = False
+    if not probe_ok:
+        print(json.dumps({
+            "metric": "fwd+bwd substeps/sec @ 1e5 particles (pour scene, 64^3 grid)",
+            "value": 0.0, "unit": "substeps/s", "vs_baseline": 0.0,
+            "error": "accelerator backend unreachable (tunnel down?)"}))
+        sys.exit(1)
+
     env = build_headline_env()
 
     steps = 50
