@@ -111,8 +111,11 @@ def main(args):
         print("Rigid e: {} x: {}".format(rigid[:3], rigid[3:6]))
         loss_log.append(loss)
         np.save(log_dir / "ckpt" / f"actions_{epoch}.npy", acts)
+        # crash-safe: persist the curve every epoch, not only at exit
+        np.save(log_dir / "losses.npy", np.asarray(loss_log))
 
-        if (epoch + 1) % args.render_interval == 0 or epoch == 0:
+        if args.render_interval > 0 and (
+                (epoch + 1) % args.render_interval == 0 or epoch == 0):
             images = render(env, action=acts, n_steps=args.steps,
                             interval=args.steps // 50)
             make_gif_from_numpy(images, log_dir, f"epoch{epoch}")
@@ -126,7 +129,8 @@ if __name__ == "__main__":
     parser.add_argument("--config", type=str,
                         default=str(Path(__file__).resolve().parents[1]
                                     / "softmac_tpu/config/demo_pour_config.py"))
-    parser.add_argument("--render-interval", type=int, default=5)
+    parser.add_argument("--render-interval", type=int, default=5,
+                        help="render a GIF every K epochs (0 disables)")
     parser.add_argument("--init-actions", type=str, default=None,
                         help="resume from a saved ckpt/actions_*.npy")
     parser.add_argument("--epochs", type=int, default=20)
