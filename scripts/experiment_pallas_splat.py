@@ -1,4 +1,8 @@
-"""Pallas TPU kernel: fused Khatri-Rao splat for P2G.
+"""KEPT EXPERIMENT (non-production): fused Khatri-Rao splat for P2G.
+
+Measured SLOWER than the XLA dense path (see body docstrings); kept under
+scripts/ as a negative-result record. The production splat kernels live in
+softmac_tpu/ops/pallas_chunked.py.
 
 The XLA formulation materializes the Khatri-Rao pair matrices
 Hyz[(y,z), p] = Wy[y,p]*Wz[z,p] (and two derivative variants) in HBM —

@@ -7,7 +7,7 @@ that build + its re-reads at most of the forward substep (the matmuls
 themselves are ~0.35 ms). These kernels never let H touch HBM: each
 particle tile rebuilds its (wy*wz, T) slab in VMEM with the per-y-row
 sublane broadcast proven out in ops/pallas_kr.py (no cross-sublane
-relayout — the mistake that sank ops/pallas_splat.py), feeds it straight
+relayout — the mistake that sank the scripts/experiment_pallas_splat.py experiment), feeds it straight
 to the MXU, and accumulates the grid in a VMEM-resident output block
 across the sequential tile grid.
 
