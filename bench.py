@@ -1,5 +1,11 @@
 """Benchmark: forward+backward simulation substeps/sec at 1e5 particles
-(the BASELINE.json north-star metric) on the pour scene.
+(the BASELINE.json north-star metric) on the FLAGSHIP pour scene — the
+demo_pour workload (CONTACT_MIXED forecast contact + two force-controlled
+floating rigid bodies stepped by RigidModel, reference
+`softmac/config/demo_pour_config.py:16-29`, `mpm_simulator.py:396-443`) —
+scaled to 1e5 particles. The previous rounds' pour_vel-physics number
+(CONTACT_PARTICLE, velocity-controlled bodies) is kept as the secondary
+`pour_vel` field.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
@@ -10,10 +16,16 @@ included as vs_measured_torch_cpu: scripts/baseline_torch.py measured the
 same pour hot loop in vectorized torch-CPU f64 autograd on this host at
 0.367 fwd / 0.010 fwd+bwd substeps/s (single-core host; see BASELINE.md).
 
-Also reports tpu_oracle_ok: one jitted substep executed on the attached
-accelerator cross-checked against the NumPy f64 oracle at f32 tolerance
-(the only non-CPU correctness execution in the repo — the pytest suite
-forces CPU).
+tpu_oracle_ok: on-hardware correctness gates against the NumPy f64 oracle
+(tests/oracle.py) — the elastic transfer trio (dense/fused/chunked) AND
+the coupled pour gate: the production rollout (sorted-carry chunked
+kernels + fused mixed-contact kernels + floating rigid step) on a small
+pour scene vs the independent coupled oracle, with mixed-contact particle
+state and rigid q/qd error fields.
+
+Roofline fields (`mfu`, `hbm_util`, ...): analytic per-substep FLOP and
+HBM-byte accounting for the production kernel path (see `roofline()`),
+reported against the attached chip's peaks.
 """
 import dataclasses
 import json
@@ -22,12 +34,17 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
 
 import numpy as np
 
 ASSUMED_TAICHI_CPU_BASELINE = 10.0   # fwd+bwd substeps/s at 1e5 (estimate)
 MEASURED_TORCH_CPU_FWDBWD = 0.010    # scripts/baseline_torch.py on this host
 MEASURED_TORCH_CPU_FWD = 0.367
+
+# TPU v5e (v5 lite) single-chip peaks (public spec):
+PEAK_BF16_TFLOPS = 197.0
+PEAK_HBM_GBPS = 819.0
 
 
 def tpu_oracle_check():
@@ -41,7 +58,6 @@ def tpu_oracle_check():
     from softmac_tpu.engine.types import (
         BodyState, MPMConfig, MPMParams, mpm_state_zero,
         MODEL_COROTATED, MAT_ELASTIC, CONTACT_GRID)
-    sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
     from oracle import oracle_substep
 
     n = 512
@@ -73,8 +89,7 @@ def tpu_oracle_check():
     out = jax.block_until_ready(run(state))
 
     # same program through the fused Pallas transfer kernels (an active
-    # window engages them; full-grid above runs the dense XLA path) — the
-    # only on-hardware correctness check the kernels get
+    # window engages them; full-grid above runs the dense XLA path)
     cfg_w = dataclasses.replace(cfg, active_window=(24, 24, 24))
 
     @jax.jit
@@ -129,16 +144,49 @@ def tpu_oracle_check():
     ok = bool(err_x < 1e-5 and err_v < 1e-4
               and err_x_w < 1e-4 and err_v_w < 2e-3
               and err_x_c < 1e-4 and err_v_c < 2e-3)
-    return ok, {"err_x": err_x, "err_v": err_v,
-                "err_x_fused": err_x_w, "err_v_fused": err_v_w,
-                "err_x_chunked": err_x_c, "err_v_chunked": err_v_c}
+    info = {"err_x": err_x, "err_v": err_v,
+            "err_x_fused": err_x_w, "err_v_fused": err_v_w,
+            "err_x_chunked": err_x_c, "err_v_chunked": err_v_c}
+
+    cok, cinfo = coupled_oracle_check()
+    info.update(cinfo)
+    return ok and cok, info
+
+
+def coupled_oracle_check():
+    """The FLAGSHIP-pipeline hardware gate: the production rollout (sorted
+    carry + chunked transfer kernels + fused mixed-contact kernels +
+    floating RigidModel step) on a small pour scene, executed on the
+    attached accelerator, vs the independent NumPy f64 coupled oracle
+    (tests/oracle.py: oracle_substep_mixed + oracle_floating_step).
+    Reports mixed-contact particle errors AND rigid-state errors."""
+    import jax
+    from test_oracle_coupled import build_small_pour_env, run_oracle_env_steps
+
+    env = build_small_pour_env(n=400, window=(48, 32, 16))
+    n_steps = 4
+    rng = np.random.RandomState(7)
+    actions = rng.randn(n_steps, env.action_dim) * 0.05
+
+    out = env.rollout(actions, loss_start_frame=0, loss_stride=n_steps)
+    mpm_f, _, rigid_f = jax.block_until_ready(out["carry"])
+
+    ox, ov, oq, oqd = run_oracle_env_steps(env, actions)
+    err_x = float(np.abs(np.asarray(mpm_f.x, np.float64).T - ox).max())
+    err_v = float(np.abs(np.asarray(mpm_f.v, np.float64).T - ov).max())
+    err_q = float(np.abs(np.asarray(rigid_f.q, np.float64) - oq).max())
+    err_qd = float(np.abs(np.asarray(rigid_f.qd, np.float64) - oqd).max())
+    ok = bool(err_x < 1e-4 and err_v < 5e-3
+              and err_q < 1e-4 and err_qd < 2e-2)
+    return ok, {"err_x_coupled": err_x, "err_v_coupled": err_v,
+                "err_rigid_q": err_q, "err_rigid_qd": err_qd}
 
 
 def batched_bench():
     """Batched multi-trajectory throughput (SURVEY 2.4 'batched rollouts
     map to vmap + DP'): B=8 independent pour_vel trajectories (5000
-    particles each, the flagship scene) rolled out fwd+bwd in ONE jitted
-    vmap program. Returns aggregate substeps/s across the batch."""
+    particles each) rolled out fwd+bwd in ONE jitted vmap program.
+    Returns aggregate substeps/s across the batch."""
     import jax
     from softmac_tpu import SoftMacEnv, load
     root = Path(__file__).resolve().parent
@@ -165,26 +213,128 @@ def batched_bench():
             "substeps_per_s": round(rate, 1)}
 
 
-def build_headline_env():
-    """The headline-metric scene: the pour_vel config scaled to 1e5
-    particles (tile the packed init state with small jitter, fed through
-    the constructor's init_particles path — same grid, physics, contact),
-    active window (40, 32, 16). Shared with scripts/diag_remat.py and
-    scripts/profile_* so every measurement runs the SAME scene."""
-    from softmac_tpu import SoftMacEnv, load
-
+def _tile_to_1e5(cfg_name, n=100_000):
+    """Tile a packed init state to n particles with small jitter (fed
+    through the constructor's init_particles path — same grid, physics,
+    contact as the demo config)."""
+    from softmac_tpu import load
     root = Path(__file__).resolve().parent
-    cfg = load(str(root / "softmac_tpu/config/demo_pour_vel_config.py"))
-    cfg.defrost(); cfg.TPU.active_window = (40, 32, 16); cfg.freeze()
+    cfg = load(str(root / f"softmac_tpu/config/{cfg_name}"))
     base_state = np.load(root / "envs/pour/pour_mpm_init_state_corotated.npy")
-    reps = int(np.ceil(1e5 / base_state.shape[0]))
+    reps = int(np.ceil(n / base_state.shape[0]))
     rng = np.random.RandomState(0)
-    tiled = np.tile(base_state[:, :3], (reps, 1))[:100_000]
-    tiled += rng.randn(100_000, 3) * 1e-4
+    tiled = np.tile(base_state[:, :3], (reps, 1))[:n]
+    tiled += rng.randn(n, 3) * 1e-4
     tiled += np.array([0.0, 0.04, 0.0])
+    return cfg, tiled
+
+
+def build_headline_env():
+    """The headline-metric scene: the FLAGSHIP demo_pour config (mixed
+    contact, two floating force-controlled rigid bodies) scaled to 1e5
+    particles, at the demo's own active window (48, 32, 16). Shared with
+    scripts/diag_remat.py and scripts/profile_* so every measurement runs
+    the SAME scene."""
+    from softmac_tpu import SoftMacEnv
+    cfg, tiled = _tile_to_1e5("demo_pour_config.py")
     env = SoftMacEnv(cfg, init_particles=tiled)
     env.reset()
     return env
+
+
+def build_pour_vel_env():
+    """The previous rounds' headline scene (pour_vel physics: particle
+    contact + velocity-controlled bodies) at 1e5 — kept as the secondary
+    metric for cross-round comparability."""
+    from softmac_tpu import SoftMacEnv
+    cfg, tiled = _tile_to_1e5("demo_pour_vel_config.py")
+    cfg.defrost(); cfg.TPU.active_window = (40, 32, 16); cfg.freeze()
+    env = SoftMacEnv(cfg, init_particles=tiled)
+    env.reset()
+    return env
+
+
+def _measure_env(env, steps=50, repeats=3):
+    """min-of-repeats fwd+bwd substeps/s on a jitted remat='none' rollout
+    (store-all tape; TPU A/B'd 1.24x over per-step checkpoint at this
+    horizon — scripts/diag_remat.py)."""
+    import jax
+    actions = np.zeros((steps, env.action_dim))
+    out = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=steps,
+                               remat="none")
+    jax.block_until_ready(out["loss"])  # compile + warmup
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        out = env.rollout_and_grad(actions, loss_start_frame=0,
+                                   loss_stride=steps, remat="none")
+        jax.block_until_ready(out["loss"])
+        times.append(time.time() - t0)
+    rate = steps * env.substeps / min(times)
+    assert np.isfinite(float(out["loss"])), "benchmark rollout diverged"
+    assert not bool(out["terms"].get("window_overflow", False)), \
+        "active window overflowed"
+    return rate
+
+
+def roofline(n_particles, window, rate_fwd_bwd):
+    """Analytic per-substep FLOP / HBM-byte accounting for the production
+    chunked-kernel path (ops/pallas_chunked.py), reported against the
+    chip peaks.
+
+    MXU model (shapes read off the kernels; T = tile, S = 16*wz slab rows,
+    every _dot is bf16x3 = 3 MXU passes):
+      fwd  dots per tile: p2g (S,T)@(T,10wx), g2p 3x(S,3wx)@(S,T),
+           gather (S,3wx)@(S,T), splat (S,T)@(T,3wx)  -> R_fwd = 25*wx cols
+      bwd  dots per tile: p2g dH 10wx + dR 10wx, g2p dgvp 9wx + dH 9wx,
+           gather 3wx+3wx, splat 3wx+3wx              -> R_bwd = 50*wx cols
+      executed flops/particle = 2 * S * R * 3 (bf16 passes), fwd resp. bwd;
+      remat='none' runs fwd once + bwd once (no replay).
+
+    HBM model (f32), per substep at N particles, both directions summed:
+      particle slabs: p2g chan 16N, g2p out 16N, gather pv 8N + out 8N,
+        splat vals 8N, state read+write 2*24N, SDF contact row gather 32N
+        (+ the same again for the backward's cotangent slabs, ~0.8x);
+      grid accumulators: p2g 3 A/B ref pairs (8*wz, {4,3,3}*wx) read+write
+        per tile, splat 1 pair, g2p/gather read 1 pair each.
+    The model is a LOWER bound (XLA fuses some slabs away, spills add
+    traffic); its conclusion is robust at this distance from the peak.
+    """
+    wx, wy, wz = window
+    T = 1536
+    S = 16 * wz
+    n_tiles = -(-n_particles // T)
+
+    r_fwd, r_bwd = 25 * wx, 50 * wx
+    flops_mxu_fwd = 2 * S * r_fwd * 3 * n_particles
+    flops_mxu_bwd = 2 * S * r_bwd * 3 * n_particles
+    flops_mxu = flops_mxu_fwd + flops_mxu_bwd
+
+    # VPU side work (slab builds, weight builds, per-row reductions):
+    # ~8 slabs of S rows + ~40 weight/reduction rows of wx, per direction.
+    flops_vpu = (8 * S + 40 * wx) * n_particles * 2
+
+    bytes_particle = (16 + 16 + 8 + 8 + 8 + 2 * 24 + 32) * n_particles * 4
+    bytes_particle = int(bytes_particle * 1.8)        # + backward cotangents
+    grid_block = 8 * wz * wx * 4                      # one (8*wz, wx) f32 ref
+    refs_rw = (4 + 3 + 3) * 2 * 2 + 3 * 2 + (3 + 3)   # p2g rw, splat rw, reads
+    bytes_grid = refs_rw * grid_block * n_tiles * 2   # fwd + bwd
+    bytes_total = bytes_particle + bytes_grid
+
+    achieved_tflops = flops_mxu * rate_fwd_bwd / 1e12
+    achieved_gbps = bytes_total * rate_fwd_bwd / 1e9
+    return {
+        "flops_mxu_per_substep": flops_mxu,
+        "flops_vpu_per_substep": int(flops_vpu),
+        "hbm_bytes_per_substep": int(bytes_total),
+        "achieved_mxu_tflops": round(achieved_tflops, 1),
+        "achieved_hbm_gbps": round(achieved_gbps, 1),
+        "mfu": round(achieved_tflops / PEAK_BF16_TFLOPS, 3),
+        "hbm_util": round(achieved_gbps / PEAK_HBM_GBPS, 3),
+        "bound": "compute (MXU)" if (achieved_tflops / PEAK_BF16_TFLOPS
+                                     > achieved_gbps / PEAK_HBM_GBPS)
+                 else "bandwidth (HBM)",
+    }
 
 
 def main():
@@ -205,54 +355,39 @@ def main():
         probe_ok = False
     if not probe_ok:
         print(json.dumps({
-            "metric": "fwd+bwd substeps/sec @ 1e5 particles (pour scene, 64^3 grid)",
+            "metric": "fwd+bwd substeps/sec @ 1e5 particles (demo_pour flagship scene: mixed contact + rigid, 64^3 grid)",
             "value": 0.0, "unit": "substeps/s", "vs_baseline": 0.0,
             "error": "accelerator backend unreachable (tunnel down?)"}))
         sys.exit(1)
 
     env = build_headline_env()
+    rate = _measure_env(env)
+    window = tuple(env.mpm_cfg.active_window)
+    del env
 
-    steps = 50
-    actions = np.zeros((steps, env.action_dim))
-    substeps = env.substeps
-
-    # remat="none" (store-all residual tape, no backward replay) measured
-    # 1.24x over the per-step-checkpoint default at this 50-step horizon
-    # (scripts/diag_remat.py on TPU: 110.1 vs 89.0 substeps/s, identical
-    # loss/grad). The per-step policy remains the demo default for 3000-step
-    # horizons where the tape would not fit.
-    out = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=50,
-                               remat="none")
-    jax.block_until_ready(out["loss"])  # compile + warmup
-
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        out = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=50,
-                                   remat="none")
-        jax.block_until_ready(out["loss"])
-        times.append(time.time() - t0)
-    elapsed = min(times)
-    rate = steps * substeps / elapsed
-
-    assert np.isfinite(float(out["loss"])), "benchmark rollout diverged"
-    assert not bool(out["terms"].get("window_overflow", False)), \
-        "active window overflowed"
+    try:
+        pv_env = build_pour_vel_env()
+        pour_vel_rate = round(_measure_env(pv_env), 2)
+        del pv_env
+    except Exception as e:  # never let the secondary metric sink the headline
+        pour_vel_rate = f"error: {type(e).__name__}: {e}"[:200]
 
     oracle_ok, oracle_info = tpu_oracle_check()
     try:
         batched = batched_bench()
-    except Exception as e:  # never let the extra metric sink the headline
+    except Exception as e:
         batched = {"error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps({
-        "metric": "fwd+bwd substeps/sec @ 1e5 particles (pour scene, 64^3 grid)",
+        "metric": "fwd+bwd substeps/sec @ 1e5 particles (demo_pour flagship scene: mixed contact + rigid, 64^3 grid)",
         "value": round(rate, 2),
         "unit": "substeps/s",
         "vs_baseline": round(rate / ASSUMED_TAICHI_CPU_BASELINE, 2),
         "vs_measured_torch_cpu": round(rate / MEASURED_TORCH_CPU_FWDBWD, 1),
+        "pour_vel_secondary": pour_vel_rate,
         "tpu_oracle_ok": oracle_ok,
         "tpu_oracle_err": oracle_info,
         "batched": batched,
+        "roofline": roofline(100_000, window, rate),
     }))
 
 

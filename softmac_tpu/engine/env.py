@@ -718,8 +718,17 @@ class SoftMacEnv:
         # reference's own store-all design (mpm_simulator.py caches every
         # substep state) — skipping the replay for a faster backward when
         # T x N residuals fit HBM (e.g. the 50-step bench at 1e5 particles).
-        if remat not in ("step", "none"):
-            raise ValueError(f"remat must be 'step' or 'none', got {remat!r}")
+        # "window:K": the middle point — checkpoint every K env steps and
+        # store-all within a window, so the tape is O(T/K) checkpoints +
+        # O(K) residuals and the backward replays each step once at most.
+        window_k = None
+        if isinstance(remat, str) and remat.startswith("window:"):
+            window_k = int(remat.split(":", 1)[1])
+            if window_k < 1:
+                raise ValueError(f"remat window must be >= 1, got {remat!r}")
+        elif remat not in ("step", "none"):
+            raise ValueError(
+                f"remat must be 'step', 'none' or 'window:K', got {remat!r}")
         wrap = jax.checkpoint if remat == "step" else (lambda f: f)
         if use_sort:
             def env_step_s(prims, params, cparams, c, a):
@@ -742,6 +751,37 @@ class SoftMacEnv:
             return ((mpm_mod.permute_state(mpm, q), bodies, rigid),
                     mpm_mod.permute_params(params_s, q), perm[q])
 
+        # "window:K" scanning: group the block's steps into windows of k
+        # (largest divisor of the loss block <= K so shapes stay static),
+        # checkpoint each window, and let the inner scan store its steps'
+        # residuals. The checkpointed callable binds prims/params/cparams
+        # as ordinary traced arguments so they are saved once, not
+        # recomputed per window.
+        if window_k is not None:
+            k = min(window_k, block)
+            while block % k != 0:
+                k -= 1
+
+            def window_fn(prims, params, cparams, c, a_win):
+                return jax.lax.scan(
+                    functools.partial(env_step, prims, params, cparams),
+                    c, a_win)
+            window_ck = jax.checkpoint(window_fn)
+
+            def scan_steps(prims, params, cparams, carry, action_block):
+                carry, (ovf, aux) = jax.lax.scan(
+                    functools.partial(window_ck, prims, params, cparams),
+                    carry, action_block.reshape(block // k, k, -1))
+                return carry, (ovf.reshape(-1),
+                               jax.tree.map(
+                                   lambda s: s.reshape((block,) + s.shape[2:]),
+                                   aux))
+        else:
+            def scan_steps(prims, params, cparams, carry, action_block):
+                return jax.lax.scan(
+                    functools.partial(env_step, prims, params, cparams),
+                    carry, action_block)
+
         def block_fn(prims, params, cparams, carry, action_block):
             if grad_clip is not None:
                 if use_sort:
@@ -752,9 +792,8 @@ class SoftMacEnv:
                     carry = clip_cotangent(carry, float(grad_clip))
             if use_sort:
                 carry = _resort(carry)
-            carry, (ovf, _) = jax.lax.scan(
-                functools.partial(env_step, prims, params, cparams),
-                carry, action_block)
+            carry, (ovf, _) = scan_steps(prims, params, cparams, carry,
+                                         action_block)
             n_pen = jnp.zeros((), jnp.int32)
             if self.has_cloth:
                 mpm, cloth, pen = carry

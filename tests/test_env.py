@@ -159,6 +159,25 @@ def test_remat_none_matches_step(pour_vel_env):
                                rtol=1e-9, atol=1e-12)
 
 
+def test_remat_window_matches_step(pour_vel_env):
+    """remat="window:K" (checkpoint every K env steps, store-all within a
+    window — the O(T/K)+O(K) middle point) must match the per-step policy
+    bit-for-bit in loss and to roundoff in gradient, including when K does
+    not divide the loss block (largest-divisor fallback)."""
+    env = pour_vel_env
+    actions = np.zeros((4, 12))
+    actions[:, 2] = 1.5
+    ref = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=2)
+    for k in (2, 3):   # 3 does not divide the block of 2 -> falls back to 1
+        win = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=2,
+                                   remat=f"window:{k}")
+        np.testing.assert_allclose(float(win["loss"]), float(ref["loss"]),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(win["action_grad"]),
+                                   np.asarray(ref["action_grad"]),
+                                   rtol=1e-9, atol=1e-12)
+
+
 def test_bptt_window_rollout(pour_vel_env):
     """Truncated-BPTT rollout: same forward values, finite gradients."""
     env = pour_vel_env

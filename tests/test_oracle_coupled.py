@@ -23,12 +23,15 @@ from oracle import (
 ROOT = Path(__file__).resolve().parents[1]
 
 
-def build_small_pour_env(n=400, dtype=None):
+def build_small_pour_env(n=400, window=()):
+    """Small coupled pour scene. window=() -> full grid (dense path, the
+    CPU-f64 oracle tests); bench.py passes the demo window so the TPU gate
+    runs the production sorted-carry chunked kernels."""
     from softmac_tpu import SoftMacEnv, load
 
     cfg = load(str(ROOT / "softmac_tpu/config/demo_pour_config.py"))
     cfg.defrost()
-    cfg.TPU.active_window = ()          # full grid (dense path on CPU f64)
+    cfg.TPU.active_window = tuple(window)
     cfg.freeze()
     base = np.load(ROOT / "envs/pour/pour_mpm_init_state_corotated.npy")
     rng = np.random.RandomState(3)
