@@ -1,9 +1,10 @@
-"""Time the headline bench rollout (1e5-particle pour_vel, 50 steps) under
-the two remat policies: "step" (per-env-step jax.checkpoint, O(1)-in-T
-memory, backward replays each forward) vs "none" (scan stores the
-custom_vjp residuals, reference-style store-all tape — no replay).
-Run on TPU. The scene comes from bench.build_headline_env so this measures
-exactly the BASELINE.md metric's program."""
+"""Time a fwd+bwd rollout under the remat policies: "step" (per-env-step
+jax.checkpoint, O(1)-in-T memory, backward replays each forward), "none"
+(scan stores the custom_vjp residuals, reference-style store-all tape — no
+replay), and "window:K" (checkpoint every K steps, store-all inside).
+Run on TPU. Default scene comes from bench.build_headline_env (the
+BASELINE.md metric's exact program); --scene demo --steps 3000 measures
+the demo_pour epoch horizon instead."""
 import sys
 import time
 from pathlib import Path
@@ -15,23 +16,45 @@ import jax
 
 
 def main():
+    import argparse
+
     import bench
 
-    env = bench.build_headline_env()
-    steps = 50
+    ap = argparse.ArgumentParser()
+    ap.add_argument("policies", nargs="*",
+                    help="remat policies to time (step, none, window:K); "
+                         "default: step none")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--scene", choices=["headline", "demo"],
+                    default="headline",
+                    help="headline: 1e5-particle flagship bench scene; "
+                         "demo: the demo_pour scene at its own 5000 "
+                         "particles (for demo-horizon A/Bs, e.g. "
+                         "--steps 3000 step window:50)")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.scene == "headline":
+        env = bench.build_headline_env()
+    else:
+        from softmac_tpu import SoftMacEnv, load
+        root = Path(__file__).resolve().parents[1]
+        cfg = load(str(root / "softmac_tpu/config/demo_pour_config.py"))
+        env = SoftMacEnv(cfg)
+        env.reset()
+    steps = args.steps
     actions = np.zeros((steps, env.action_dim))
     results = {}
-    which = [a for a in sys.argv[1:] if not a.startswith("-")] or \
-        ["step", "none"]
+    which = args.policies or ["step", "none"]
     for remat in which:
         out = env.rollout_and_grad(actions, loss_start_frame=0,
-                                   loss_stride=50, remat=remat)
+                                   loss_stride=steps, remat=remat)
         jax.block_until_ready(out["loss"])
         times = []
-        for _ in range(3):
+        for _ in range(args.repeats):
             t0 = time.time()
             out = env.rollout_and_grad(actions, loss_start_frame=0,
-                                       loss_stride=50, remat=remat)
+                                       loss_stride=steps, remat=remat)
             jax.block_until_ready(out["loss"])
             times.append(time.time() - t0)
         el = min(times)

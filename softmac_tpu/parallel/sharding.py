@@ -72,6 +72,30 @@ def build_small_pour_env(n_particles: int = 512):
     return SoftMacEnv(cfg, loss=False, search_dirs=[str(root)])
 
 
+def build_small_hit_env(n_particles: int = 512):
+    """A reduced hit scene (MPM-controlled chopstick cylinder + the towel
+    cloth, coupled through sticky cloth contact) for multi-chip tests/dry
+    runs — the cloth-family twin of build_small_pour_env."""
+    from softmac_tpu import SoftMacEnv, load
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    cfg = load(str(root / "softmac_tpu/config/demo_hit_config.py"))
+    cfg.defrost()
+    # one cylinder right under the towel so MPM<->cloth contact engages at
+    # short horizons; action-controlled so gradients reach the actions
+    import math
+    cfg.SHAPES = [{
+        "shape": "cylinder", "radius": 0.02, "height": 0.04,
+        "init_pos": [0.46, 0.35, 0.47], "n_particles": n_particles,
+        "color": 0,
+        "init_rot": [math.cos(math.pi / 4), math.sin(math.pi / 4), 0, 0],
+    }]
+    env = SoftMacEnv(cfg, loss=False, search_dirs=[str(root)])
+    env.set_control_idx(np.zeros(env.n_particles, np.int32))
+    return env
+
+
 def carry_spec(env, dp_axis: Optional[str], sp_axis: str):
     """PartitionSpecs for the env carry: particle state sharded over sp;
     rigid/body state — or, for cloth envs, the (V, 3) cloth state —
@@ -254,4 +278,23 @@ def dryrun(n_devices: Optional[int] = None, n_steps: int = 2) -> None:
     assert np.isfinite(np.asarray(new_actions)).all()
     print(f"[dryrun_multichip] mesh=({dp}x{sp}) devices={n_devices} "
           f"coupled pour scene (contact+rigid) loss={loss:.6f} "
+          f"grad-updated actions OK")
+
+    # cloth family: the same dp x sp training step on a reduced hit scene
+    # (MPM control + PD towel cloth + sticky cloth contact): vertex-force
+    # psums over sp, replicated cloth solve, sharded penetration side-state
+    env_c = build_small_hit_env(n_particles=64 * sp)
+    carry0_c = env_c._initial_carry()
+    batched_c = jax.tree.map(
+        lambda s: jnp.broadcast_to(s[None], (dp,) + s.shape), carry0_c)
+    actions_c = jnp.zeros((dp, 1, env_c.action_dim), env_c.dtype)
+    target_c = jnp.asarray(0.45 + 0.1 * rng.rand(64, 3), env_c.dtype)
+    step_c = make_sharded_train_step(env_c, mesh, lr=1e-3)
+    loss_c, new_actions_c = step_c(env_c.mpm_params, batched_c, actions_c,
+                                   target_c, env_c.prims)
+    loss_c = float(loss_c)
+    assert np.isfinite(loss_c), "cloth multichip dryrun non-finite loss"
+    assert np.isfinite(np.asarray(new_actions_c)).all()
+    print(f"[dryrun_multichip] mesh=({dp}x{sp}) devices={n_devices} "
+          f"coupled hit scene (MPM control + PD cloth) loss={loss_c:.6f} "
           f"grad-updated actions OK")
