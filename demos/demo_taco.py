@@ -91,6 +91,21 @@ def main(args):
         pass
     env.set_control_mode("cloth")
 
+    if args.eval_scripted:
+        # evaluate + render the scripted fold that generated the target —
+        # the loss a SOLVED taco scores (optimizer floor diagnostic)
+        acts = get_init_actions(args, env, choice=1)
+        total_frames = args.steps * env.substeps
+        start = (9 * total_frames // 10) // 10 * 10
+        out = env.rollout(acts, loss_start_frame=start, loss_stride=10)
+        loss = float(out["loss"])
+        print(f"scripted-fold loss: {loss:.4f}")
+        np.save(log_dir / "scripted_loss.npy", np.asarray([loss]))
+        images = render(env, action=acts, n_steps=args.steps,
+                        interval=max(args.steps // 50, 1))
+        make_gif_from_numpy(images, log_dir, "scripted")
+        return
+
     actions0 = get_init_actions(args, env, choice=0)
     if args.init_actions:
         # resume from a saved per-epoch trajectory checkpoint (the delta
@@ -98,8 +113,9 @@ def main(args):
         actions0 = np.asarray(np.load(args.init_actions))[: args.steps]
     controller = DeltaController(
         steps=args.steps, actions_init=actions0,
-        mpm_scale=env.mpm_scale, lr=5e-4, warmup=5, decay=0.95)
+        mpm_scale=env.mpm_scale, lr=args.lr, warmup=5, decay=0.95)
 
+    bptt = args.bptt_window if args.bptt_window > 0 else None
     loss_log = []
     print("Optimizing Trajectory...")
     for epoch in range(args.epochs):
@@ -127,7 +143,7 @@ def main(args):
             out = env.batched_rollout_and_grad(
                 np.broadcast_to(acts, (K,) + acts.shape).copy(),
                 carry0=main._carryK, loss_start_frame=start, loss_stride=10,
-                bptt_window=20, grad_clip=10.0)
+                bptt_window=bptt, grad_clip=10.0)
             loss = float(np.mean(np.asarray(out["loss"], np.float64)))
             mean_g = np.mean(np.asarray(out["action_grad"], np.float64), 0)
             out = jax.tree.map(lambda s: np.asarray(s)[0], out)
@@ -135,7 +151,7 @@ def main(args):
         else:
             out = env.rollout_and_grad(acts, loss_start_frame=start,
                                        loss_stride=10,
-                                       bptt_window=20, grad_clip=10.0)
+                                       bptt_window=bptt, grad_clip=10.0)
             loss = float(out["loss"])
         timer.stop()
         timer.times["loss"] = timer.times["backward"] = 0.0
@@ -174,5 +190,11 @@ if __name__ == "__main__":
                         help="optimize mean loss over K jittered replicas")
     parser.add_argument("--jitter", type=float, default=2e-4,
                         help="initial-position jitter sigma for --replicas")
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--bptt-window", type=int, default=20,
+                        help="truncated-BPTT window (env steps); 0 = full")
+    parser.add_argument("--eval-scripted", action="store_true",
+                        help="evaluate + render the scripted fold that "
+                             "generated the target, then exit")
     args = parser.parse_args()
     main(args)
