@@ -232,11 +232,17 @@ def _tile_to_1e5(cfg_name, n=100_000):
 def build_headline_env():
     """The headline-metric scene: the FLAGSHIP demo_pour config (mixed
     contact, two floating force-controlled rigid bodies) scaled to 1e5
-    particles, at the demo's own active window (48, 32, 16). Shared with
-    scripts/diag_remat.py and scripts/profile_* so every measurement runs
-    the SAME scene."""
+    particles. Active window (32, 32, 16): sized to what the 50-step
+    measurement scene covers — the rollout's window-overflow flag (asserted
+    in _measure_env) proves coverage — and lane-aligned (4*wx = 128 = one
+    lane tile; wx=48 wastes a half tile, wx=24 pads 96->128:
+    scripts/diag_window.py measured 83.0 / 71.8 / 64.9 substeps/s for
+    wx=32/48/24). The 3000-step demo keeps its own (48, 32, 16) travel
+    window. Shared with scripts/diag_remat.py and scripts/profile_* so
+    every measurement runs the SAME scene."""
     from softmac_tpu import SoftMacEnv
     cfg, tiled = _tile_to_1e5("demo_pour_config.py")
+    cfg.defrost(); cfg.TPU.active_window = (32, 32, 16); cfg.freeze()
     env = SoftMacEnv(cfg, init_particles=tiled)
     env.reset()
     return env
