@@ -39,7 +39,7 @@ def main():
 
     root = Path(__file__).resolve().parents[1]
     cfg = load(str(root / "softmac_tpu/config/demo_pour_config.py"))
-    cfg.defrost(); cfg.TPU.active_window = (48, 32, 16); cfg.freeze()
+    cfg.defrost(); cfg.TPU.active_window = (32, 32, 16); cfg.freeze()
 
     base_state = np.load(root / "envs/pour/pour_mpm_init_state_corotated.npy")
     reps = int(np.ceil(1e5 / base_state.shape[0]))
