@@ -66,13 +66,14 @@ def main(args):
             out = env.batched_rollout_and_grad(
                 np.broadcast_to(actions, (K,) + actions.shape).copy(),
                 carry0=carryK, loss_start_frame=start,
-                loss_stride=20, grad_clip=1.0)
+                loss_stride=20, grad_clip=1.0, remat=args.remat)
             loss = float(np.mean(np.asarray(out["loss"], np.float64)))
             g = np.mean(np.asarray(out["action_grad"], np.float64), axis=0)
             out = jax.tree.map(lambda s: np.asarray(s)[0], out)
         else:
             out = env.rollout_and_grad(actions, loss_start_frame=start,
-                                       loss_stride=20, grad_clip=1.0)
+                                       loss_stride=20, grad_clip=1.0,
+                                       remat=args.remat)
             loss = float(out["loss"])
             g = np.asarray(out["action_grad"], np.float64)
         g = sanitize_grad(g)
@@ -149,6 +150,9 @@ if __name__ == "__main__":
     parser.add_argument("--render-interval", type=int, default=5)
     parser.add_argument("--init-actions", type=str, default=None,
                         help="resume from a saved ckpt/actions_*.npy")
+    parser.add_argument("--remat", type=str, default="step",
+                        help="rollout remat policy: step | none | window:K "
+                             "(scripts/diag_remat.py for the A/B)")
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--replicas", type=int, default=1,

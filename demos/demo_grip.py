@@ -53,7 +53,8 @@ def main(args):
         acts = controller.get_actions()
         total_frames = args.steps * env.substeps
         start = (3 * total_frames // 4) // 20 * 20   # 1500 @ reference scale
-        out = env.rollout_and_grad(acts, loss_start_frame=start, loss_stride=20)
+        out = env.rollout_and_grad(acts, loss_start_frame=start, loss_stride=20,
+                                   remat=args.remat)
         loss = float(out["loss"])
         timer.stop()
         timer.times["loss"] = timer.times["backward"] = 0.0
@@ -92,6 +93,9 @@ if __name__ == "__main__":
     parser.add_argument("--render-interval", type=int, default=5)
     parser.add_argument("--init-actions", type=str, default=None,
                         help="resume from a saved ckpt/actions_*.npy")
+    parser.add_argument("--remat", type=str, default="step",
+                        help="rollout remat policy: step | none | window:K "
+                             "(scripts/diag_remat.py for the A/B)")
     parser.add_argument("--epochs", type=int, default=15)
     parser.add_argument("--steps", type=int, default=400)
     args = parser.parse_args()

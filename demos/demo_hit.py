@@ -67,7 +67,8 @@ def main(args):
         acts = np.concatenate([xy_ctl.get_actions(), z_ctl.get_actions()], axis=1)
         total_frames = args.steps * env.substeps
         out = env.rollout_and_grad(acts, loss_start_frame=total_frames,
-                                   loss_stride=total_frames)
+                                   loss_stride=total_frames,
+                                   remat=args.remat)
         loss = float(out["loss"])
         timer.stop()
         timer.times["loss"] = timer.times["backward"] = 0.0
@@ -101,6 +102,9 @@ if __name__ == "__main__":
                         default=str(Path(__file__).resolve().parents[1]
                                     / "softmac_tpu/config/demo_hit_config.py"))
     parser.add_argument("--render-interval", type=int, default=5)
+    parser.add_argument("--remat", type=str, default="step",
+                        help="rollout remat policy: step | none | window:K "
+                             "(scripts/diag_remat.py for the A/B)")
     parser.add_argument("--epochs", type=int, default=40)
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--init-actions", type=str, default=None,

@@ -77,7 +77,8 @@ def main(args):
         acts[:, 3:6] = force_ctl.get_actions()
         total_frames = args.steps * env.substeps
         start = (2 * total_frames // 3) // 20 * 20   # 2000 @ reference scale
-        out = env.rollout_and_grad(acts, loss_start_frame=start, loss_stride=20)
+        out = env.rollout_and_grad(acts, loss_start_frame=start, loss_stride=20,
+                                   remat=args.remat)
         loss = float(out["loss"])
         timer.stop()
         timer.times["loss"] = timer.times["backward"] = 0.0
@@ -133,6 +134,9 @@ if __name__ == "__main__":
                         help="render a GIF every K epochs (0 disables)")
     parser.add_argument("--init-actions", type=str, default=None,
                         help="resume from a saved ckpt/actions_*.npy")
+    parser.add_argument("--remat", type=str, default="step",
+                        help="rollout remat policy: step | none | window:K "
+                             "(scripts/diag_remat.py for the A/B)")
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--safeguard", action="store_true",

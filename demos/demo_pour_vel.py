@@ -52,7 +52,7 @@ def main(args):
         # sign-noise at 1e11 (f64 is clean); 300-step truncation recovers the
         # f64 gradient structure (97% sign agreement)
         out = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=20,
-                                   bptt_window=300)
+                                   bptt_window=300, remat=args.remat)
         loss = float(out["loss"])
         timer.stop()
         timer.times["loss"] = timer.times["backward"] = 0.0
@@ -87,6 +87,9 @@ if __name__ == "__main__":
                         default=str(Path(__file__).resolve().parents[1]
                                     / "softmac_tpu/config/demo_pour_vel_config.py"))
     parser.add_argument("--render-interval", type=int, default=5)
+    parser.add_argument("--remat", type=str, default="step",
+                        help="rollout remat policy: step | none | window:K "
+                             "(scripts/diag_remat.py for the A/B)")
     parser.add_argument("--epochs", type=int, default=5)
     parser.add_argument("--steps", type=int, default=2000)
     args = parser.parse_args()
