@@ -53,7 +53,11 @@ except Exception:  # pragma: no cover
 from softmac_tpu.ops.pallas_fused import _dot_t, _dot_rows, _dot00
 from softmac_tpu.ops import pallas_fused as _pf
 
-_TILE_C = 1536     # one tile width for the whole chunked family -> one meta
+import os as _os
+
+# one tile width for the whole chunked family -> one meta. 1536 was tuned
+# at wx=40 (round 2); env override for sweeps (scripts/diag_tile.py).
+_TILE_C = int(_os.environ.get("SOFTMAC_TPU_TILE_C", "1536"))
 _WY = 16           # per-tile y-window rows (2 grid blocks of 8)
 
 
