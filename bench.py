@@ -29,12 +29,20 @@ reported against the attached chip's peaks.
 """
 import dataclasses
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+
+# chunked-kernel tile for the 1e5-particle scenes (must be set before
+# softmac_tpu.ops.pallas_chunked is imported): 2048 measured 100.3 vs 91.7
+# substeps/s for the 1536 default on the flagship headline
+# (scripts/diag_tile sweep). Demos keep 1536 — at 5-10k particles a 2048
+# tile can span more than the kernels' 16-row y-window.
+os.environ.setdefault("SOFTMAC_TPU_TILE_C", "2048")
 
 import numpy as np
 
@@ -209,6 +217,8 @@ def batched_bench():
         times.append(time.time() - t0)
     rate = B * steps * env.substeps / min(times)
     assert np.isfinite(np.asarray(out["loss"])).all()
+    assert not bool(np.any(np.asarray(out["terms"]["window_overflow"]))), \
+        "batched scene overflowed (check SOFTMAC_TPU_TILE_C vs blob span)"
     return {"B": B, "n_particles": env.n_particles,
             "substeps_per_s": round(rate, 1)}
 
@@ -307,7 +317,7 @@ def roofline(n_particles, window, rate_fwd_bwd):
     traffic); its conclusion is robust at this distance from the peak.
     """
     wx, wy, wz = window
-    T = 1536
+    T = int(os.environ.get("SOFTMAC_TPU_TILE_C", "1536"))
     S = 16 * wz
     n_tiles = -(-n_particles // T)
 
