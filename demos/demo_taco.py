@@ -83,6 +83,10 @@ def get_init_actions(args, env, choice=0):
 
 def main(args):
     log_dir, cfg = prepare(args)
+    if args.cloth_damping is not None:
+        cfg.defrost()
+        cfg.CLOTH.velocity_damping = args.cloth_damping
+        cfg.freeze()
 
     env = SoftMacEnv(cfg)
     try:
@@ -190,7 +194,12 @@ if __name__ == "__main__":
                         help="optimize mean loss over K jittered replicas")
     parser.add_argument("--jitter", type=float, default=2e-4,
                         help="initial-position jitter sigma for --replicas")
-    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--lr", type=float, default=0.3,
+                        help="reference demo_taco lr (its Adam steps "
+                             "saturate the +-0.01 delta clamp)")
+    parser.add_argument("--cloth-damping", type=float, default=None,
+                        help="override CLOTH.velocity_damping (0.05 keeps "
+                             "the wrap states stable; default config 0.02)")
     parser.add_argument("--bptt-window", type=int, default=20,
                         help="truncated-BPTT window (env steps); 0 = full")
     parser.add_argument("--eval-scripted", action="store_true",
