@@ -65,6 +65,17 @@ class DeltaController:
         self.delta[1:] = cs[1:] - cs[:-1]
         self.epoch += 1
 
+    def snapshot(self):
+        import copy
+        return (self.delta.copy(), copy.deepcopy(self.opt_state),
+                self.lr, self.epoch)
+
+    def restore(self, snap):
+        import copy
+        self.delta = snap[0].copy()
+        self.opt_state = copy.deepcopy(snap[1])
+        self.lr, self.epoch = snap[2], snap[3]
+
 
 def get_init_actions(args, env, choice=0):
     a0 = env.cloth_model.attachment_rest_positions()
@@ -120,6 +131,12 @@ def main(args):
         mpm_scale=env.mpm_scale, lr=args.lr, warmup=5, decay=0.95)
 
     bptt = args.bptt_window if args.bptt_window > 0 else None
+    # --safeguard (same design as demo_pour): full-horizon taco gradients
+    # point at the wrap (27509 -> 8800 in ONE epoch) but the clamp-saturated
+    # Adam steps overshoot wildly on the chaotic landscape; reject an epoch
+    # whose loss regresses past the best-so-far, roll the controller back,
+    # and halve the lr. Costs no extra rollouts.
+    best_loss, snap, g_prev = np.inf, None, None
     loss_log = []
     print("Optimizing Trajectory...")
     for epoch in range(args.epochs):
@@ -161,7 +178,19 @@ def main(args):
         timer.times["loss"] = timer.times["backward"] = 0.0
 
         timer.start("optimize")
-        controller.step(np.asarray(out["action_grad"]))
+        g = np.asarray(out["action_grad"])
+        if args.safeguard:
+            if loss > best_loss and snap is not None:
+                controller.restore(snap)
+                controller.lr *= 0.5
+                g = g_prev
+                print(f"  [safeguard] overshoot ({loss:.1f} > "
+                      f"{best_loss:.1f}): rolled back, lr halved")
+            else:
+                best_loss = loss
+            snap = controller.snapshot()
+            g_prev = g
+        controller.step(g)
         timer.stop()
 
         terms = {k: float(v) for k, v in out["terms"].items()}
@@ -170,6 +199,7 @@ def main(args):
                          loss, terms.get("chamfer_loss", 0)))
         loss_log.append(loss)
         np.save(log_dir / "ckpt" / f"actions_{epoch}.npy", acts)
+        np.save(log_dir / "losses.npy", np.asarray(loss_log))
 
         if (epoch + 1) % args.render_interval == 0 or epoch == 0:
             images = render(env, action=acts, n_steps=args.steps,
@@ -202,6 +232,9 @@ if __name__ == "__main__":
                              "the wrap states stable; default config 0.02)")
     parser.add_argument("--bptt-window", type=int, default=20,
                         help="truncated-BPTT window (env steps); 0 = full")
+    parser.add_argument("--safeguard", action="store_true",
+                        help="best-so-far rollback + lr halving on "
+                             "overshoot (see demo_pour)")
     parser.add_argument("--eval-scripted", action="store_true",
                         help="evaluate + render the scripted fold that "
                              "generated the target, then exit")
