@@ -35,8 +35,20 @@ class DeltaController:
         self.epoch = 0
         self.latest_lr = lr
         self._optax = optax
-        self.opt = optax.adam(lr, b1=betas[0], b2=betas[1])
+        # learning_rate as a CALLABLE reading self.lr at update time, so
+        # schedule and safeguard lr-halving actually reach the optimizer
+        # (a baked optax.adam(lr) ignores later self.lr changes — the
+        # reference's own driver has the same latent bug, demo_taco.py:48:
+        # it re-applies the constant base lr every epoch)
+        self.opt = optax.adam(learning_rate=self._lr_fn, b1=betas[0],
+                              b2=betas[1])
         self.opt_state = self.opt.init(self.delta)
+
+    def _lr_fn(self, count):
+        import jax.numpy as jnp
+        warm = self.lr * (count + 1) / max(self.warmup, 1)
+        decayed = self.lr * self.decay ** jnp.maximum(count - self.warmup, 0)
+        return jnp.where(count < self.warmup, warm, decayed)
 
     def get_actions(self):
         return self.actions_init[0][None] + np.cumsum(self.delta, axis=0)
