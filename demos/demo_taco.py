@@ -104,6 +104,103 @@ def get_init_actions(args, env, choice=0):
     return actions
 
 
+LRS = np.array([1e-2, 3e-2, 1e-1, 3e-1])  # candidate step sizes
+
+
+def project_trajectory(actions, actions_init, mpm_scale):
+    """Rebuild per-step deltas from an absolute trajectory and apply the
+    reference's clamps (+-0.01 deltas, reachable-arc cumsum), returning the
+    clamped absolute trajectory (DeltaController.step without Adam)."""
+    delta = np.zeros_like(actions)
+    delta[1:] = actions[1:] - actions[:-1]
+    delta = np.clip(delta, -0.01, 0.01)
+    delta[0] = 0.0
+    cs = np.cumsum(delta, axis=0)
+    r = 0.3 * mpm_scale
+    cs[:, 1] = np.clip(cs[:, 1], -r, r)
+    cs[:, 4] = np.clip(cs[:, 4], -r, r)
+    cs[:, 0] = np.minimum(cs[:, 0], np.sqrt(np.maximum(r**2 - cs[:, 1]**2, 0)) - r)
+    cs[:, 3] = np.maximum(cs[:, 3], r - np.sqrt(np.maximum(r**2 - cs[:, 4]**2, 0)))
+    return actions_init[0][None] + cs
+
+
+def line_search_main(args, log_dir, env):
+    """Batched backtracking line search (the demo_door driver adapted to
+    the taco delta-clamp geometry): per epoch, C candidate step sizes along
+    the sanitized full-horizon gradient in ONE vmap rollout, recenter on
+    the argmin — monotone by construction on this knife-edge landscape
+    (plain Adam re-steps from the best point overshoot at ANY lr)."""
+    import jax
+
+    from softmac_tpu.utils import sanitize_grad
+
+    total_frames = args.steps * env.substeps
+    start = (9 * total_frames // 10) // 10 * 10
+    bptt = args.bptt_window if args.bptt_window > 0 else None
+
+    def grad_at(actions):
+        out = env.rollout_and_grad(actions, loss_start_frame=start,
+                                   loss_stride=10, bptt_window=bptt,
+                                   grad_clip=10.0)
+        loss = float(out["loss"])
+        g = sanitize_grad(np.asarray(out["action_grad"], np.float64)).copy()
+        g[:, 6:] = 0.0
+        g[:, 2] = 0.0
+        g[:, 5] = 0.0
+        g /= max(np.abs(g).max(), 1e-12)
+        return loss, g
+
+    actions_init = get_init_actions(args, env, choice=0)
+    best = np.asarray(actions_init, np.float64)
+    if args.init_actions:
+        best = np.asarray(np.load(args.init_actions), np.float64)[: args.steps]
+    best_loss, g = grad_at(best)
+    lr_scale = 1.0
+
+    loss_log = []
+    print("Optimizing Trajectory (line search)...")
+    for epoch in range(args.epochs):
+        timer = EpochTimer()
+        timer.start("prepare"); env.reset(); timer.stop()
+
+        timer.start("forward")
+        cands = np.stack([
+            project_trajectory(best - lr_scale * s * g, actions_init,
+                               env.mpm_scale)
+            for s in LRS])
+        res = env.batched_rollout(cands, loss_start_frame=start,
+                                  loss_stride=10)
+        cand_losses = np.asarray(res["loss"], np.float64)
+        timer.stop()
+        timer.times["loss"] = timer.times["backward"] = 0.0
+
+        timer.start("optimize")
+        k = int(np.nanargmin(cand_losses))
+        if np.isfinite(cand_losses[k]) and cand_losses[k] < best_loss:
+            best = cands[k]
+            best_loss = float(cand_losses[k])
+            _, g = grad_at(best)
+            lr_scale = 1.0
+        else:
+            lr_scale *= 0.5
+        timer.stop()
+
+        timer.report(epoch, lr_scale,
+                     "Loss: {:.4f} cands: {}".format(
+                         best_loss,
+                         np.array2string(cand_losses, precision=1)))
+        loss_log.append(best_loss)
+        np.save(log_dir / "ckpt" / f"actions_{epoch}.npy", best)
+        np.save(log_dir / "losses.npy", np.asarray(loss_log))
+
+        if (epoch + 1) % args.render_interval == 0 or epoch == 0                 or epoch == args.epochs - 1:
+            images = render(env, action=best, n_steps=args.steps,
+                            interval=max(args.steps // 50, 1))
+            make_gif_from_numpy(images, log_dir, f"epoch{epoch}")
+
+    plot_loss_curve(log_dir, loss_log)
+
+
 def main(args):
     log_dir, cfg = prepare(args)
     if args.cloth_damping is not None:
@@ -132,6 +229,9 @@ def main(args):
                         interval=max(args.steps // 50, 1))
         make_gif_from_numpy(images, log_dir, "scripted")
         return
+
+    if args.line_search:
+        return line_search_main(args, log_dir, env)
 
     actions0 = get_init_actions(args, env, choice=0)
     if args.init_actions:
@@ -244,6 +344,9 @@ if __name__ == "__main__":
                              "the wrap states stable; default config 0.02)")
     parser.add_argument("--bptt-window", type=int, default=20,
                         help="truncated-BPTT window (env steps); 0 = full")
+    parser.add_argument("--line-search", action="store_true",
+                        help="batched candidate-step line search (the "
+                             "demo_door driver) instead of Adam")
     parser.add_argument("--safeguard", action="store_true",
                         help="best-so-far rollback + lr halving on "
                              "overshoot (see demo_pour)")
