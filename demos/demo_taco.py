@@ -104,15 +104,14 @@ def get_init_actions(args, env, choice=0):
     return actions
 
 
-LRS = np.array([1e-2, 3e-2, 1e-1, 3e-1])  # candidate step sizes
+LRS = np.array([2.5e-3, 5e-3, 1e-2, 2e-2])  # delta-space step sizes
+                                            # (>= 1e-2 saturates the clamp
+                                            # = the full Adam-style sign step)
 
 
-def project_trajectory(actions, actions_init, mpm_scale):
-    """Rebuild per-step deltas from an absolute trajectory and apply the
-    reference's clamps (+-0.01 deltas, reachable-arc cumsum), returning the
-    clamped absolute trajectory (DeltaController.step without Adam)."""
-    delta = np.zeros_like(actions)
-    delta[1:] = actions[1:] - actions[:-1]
+def clamp_delta(delta, actions_init, mpm_scale):
+    """The reference's delta clamps (+-0.01 per step, reachable-arc cumsum);
+    returns (clamped delta, absolute trajectory)."""
     delta = np.clip(delta, -0.01, 0.01)
     delta[0] = 0.0
     cs = np.cumsum(delta, axis=0)
@@ -121,7 +120,9 @@ def project_trajectory(actions, actions_init, mpm_scale):
     cs[:, 4] = np.clip(cs[:, 4], -r, r)
     cs[:, 0] = np.minimum(cs[:, 0], np.sqrt(np.maximum(r**2 - cs[:, 1]**2, 0)) - r)
     cs[:, 3] = np.maximum(cs[:, 3], r - np.sqrt(np.maximum(r**2 - cs[:, 4]**2, 0)))
-    return actions_init[0][None] + cs
+    delta = delta.copy()
+    delta[1:] = cs[1:] - cs[:-1]
+    return delta, actions_init[0][None] + cs
 
 
 def line_search_main(args, log_dir, env):
@@ -152,8 +153,11 @@ def line_search_main(args, log_dir, env):
 
     actions_init = get_init_actions(args, env, choice=0)
     best = np.asarray(actions_init, np.float64)
+    delta_best = np.zeros_like(best)
+    delta_best[1:] = best[1:] - best[:-1]
     if args.init_actions:
         best = np.asarray(np.load(args.init_actions), np.float64)[: args.steps]
+        delta_best[1:] = best[1:] - best[:-1]
     best_loss, g = grad_at(best)
     lr_scale = 1.0
 
@@ -164,10 +168,17 @@ def line_search_main(args, log_dir, env):
         timer.start("prepare"); env.reset(); timer.stop()
 
         timer.start("forward")
-        cands = np.stack([
-            project_trajectory(best - lr_scale * s * g, actions_init,
-                               env.mpm_scale)
-            for s in LRS])
+        # sign steps in DELTA space: a clamp-saturated Adam step (what
+        # produced the 27509 -> 8800 jump) is approximately
+        # delta -= 0.01 * sign(g_delta); g_delta = reverse-cumsum of the
+        # action gradient (chain rule through the cumsum parameterization)
+        g_delta = np.cumsum(g[::-1], axis=0)[::-1]
+        g_delta /= max(np.abs(g_delta).max(), 1e-12)
+        pairs = [clamp_delta(delta_best - lr_scale * s * np.sign(g_delta)
+                             * (np.abs(g_delta) > 0.01 * np.abs(g_delta).max()),
+                             actions_init, env.mpm_scale)
+                 for s in LRS]
+        cands = np.stack([p[1] for p in pairs])
         res = env.batched_rollout(cands, loss_start_frame=start,
                                   loss_stride=10)
         cand_losses = np.asarray(res["loss"], np.float64)
@@ -175,9 +186,13 @@ def line_search_main(args, log_dir, env):
         timer.times["loss"] = timer.times["backward"] = 0.0
 
         timer.start("optimize")
-        k = int(np.nanargmin(cand_losses))
+        if np.isfinite(cand_losses).any():
+            k = int(np.nanargmin(cand_losses))
+        else:
+            k = 0
+            cand_losses = np.full_like(cand_losses, np.inf)
         if np.isfinite(cand_losses[k]) and cand_losses[k] < best_loss:
-            best = cands[k]
+            delta_best, best = pairs[k]
             best_loss = float(cand_losses[k])
             _, g = grad_at(best)
             lr_scale = 1.0
