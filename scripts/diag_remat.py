@@ -46,15 +46,22 @@ def main():
     actions = np.zeros((steps, env.action_dim))
     results = {}
     which = args.policies or ["step", "none"]
+    # demo scene: mirror demo_pour's exact loss sampling so the "step"
+    # program is the demo's own cached executable
+    if args.scene == "demo":
+        start = (2 * steps * env.substeps // 3) // 20 * 20
+        stride = 20
+    else:
+        start, stride = 0, steps
     for remat in which:
-        out = env.rollout_and_grad(actions, loss_start_frame=0,
-                                   loss_stride=steps, remat=remat)
+        out = env.rollout_and_grad(actions, loss_start_frame=start,
+                                   loss_stride=stride, remat=remat)
         jax.block_until_ready(out["loss"])
         times = []
         for _ in range(args.repeats):
             t0 = time.time()
-            out = env.rollout_and_grad(actions, loss_start_frame=0,
-                                       loss_stride=steps, remat=remat)
+            out = env.rollout_and_grad(actions, loss_start_frame=start,
+                                       loss_stride=stride, remat=remat)
             jax.block_until_ready(out["loss"])
             times.append(time.time() - t0)
         el = min(times)
