@@ -270,10 +270,13 @@ def build_pour_vel_env():
     return env
 
 
-def _measure_env(env, steps=50, repeats=3):
-    """min-of-repeats fwd+bwd substeps/s on a jitted remat='none' rollout
-    (store-all tape; TPU A/B'd 1.24x over per-step checkpoint at this
-    horizon — scripts/diag_remat.py)."""
+def _measure_env(env, steps=100, repeats=5):
+    """Best-of-repeats fwd+bwd substeps/s on a jitted remat='none' rollout
+    (store-all tape; TPU A/B'd 1.24x over per-step checkpoint at short
+    horizons — scripts/diag_remat.py). steps=100 amortizes the per-call
+    dispatch overhead; 5 repeats ride out the tunnel's slow phases
+    (observed spread 41-109 substeps/s across identical calls —
+    best-of-N measures the program, not the tunnel weather)."""
     import jax
     actions = np.zeros((steps, env.action_dim))
     out = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=steps,
