@@ -406,6 +406,8 @@ def main():
         "tpu_oracle_ok": oracle_ok,
         "tpu_oracle_err": oracle_info,
         "batched": batched,
+        "active_window": list(window),
+        "tile_c": int(os.environ.get("SOFTMAC_TPU_TILE_C", "1536")),
         "roofline": roofline(100_000, window, rate),
     }))
 
