@@ -270,7 +270,7 @@ def build_pour_vel_env():
     return env
 
 
-def _measure_env(env, steps=100, repeats=5):
+def _measure_env(env, steps=100, repeats=8):
     """Best-of-repeats fwd+bwd substeps/s on a jitted remat='none' rollout
     (store-all tape; TPU A/B'd 1.24x over per-step checkpoint at short
     horizons — scripts/diag_remat.py). steps=100 amortizes the per-call
