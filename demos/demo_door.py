@@ -133,7 +133,9 @@ def main(args):
         loss_log.append(best_loss)
         np.save(log_dir / "ckpt" / f"actions_{epoch}.npy", best)
 
-        if (epoch + 1) % args.render_interval == 0 or epoch == args.epochs - 1:
+        if args.render_interval > 0 and (
+                (epoch + 1) % args.render_interval == 0
+                or epoch == args.epochs - 1):
             images = render(env, action=best, n_steps=args.steps,
                             interval=args.steps // 50)
             make_gif_from_numpy(images, log_dir, f"epoch{epoch}")

@@ -86,7 +86,8 @@ def main(args):
         loss_log.append(loss)
         np.save(log_dir / "ckpt" / f"actions_{epoch}.npy", acts)
 
-        if (epoch + 1) % args.render_interval == 0 or epoch == 0:
+        if args.render_interval > 0 and (
+                (epoch + 1) % args.render_interval == 0 or epoch == 0):
             images = render(env, action=acts, n_steps=args.steps,
                             interval=max(args.steps // 50, 1))
             make_gif_from_numpy(images, log_dir, f"epoch{epoch}")

@@ -78,7 +78,9 @@ def main(args):
         (log_dir / "ckpt" / f"policy_{epoch}.msgpack").write_bytes(
             serialization.to_bytes(params))
 
-        if (epoch + 1) % args.render_interval == 0 or epoch == args.epochs - 1:
+        if args.render_interval > 0 and (
+                (epoch + 1) % args.render_interval == 0
+                or epoch == args.epochs - 1):
             # deployment path: closed-loop through the imperative facade
             env.reset()
             acts = []

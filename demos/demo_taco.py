@@ -208,7 +208,9 @@ def line_search_main(args, log_dir, env):
         np.save(log_dir / "ckpt" / f"actions_{epoch}.npy", best)
         np.save(log_dir / "losses.npy", np.asarray(loss_log))
 
-        if (epoch + 1) % args.render_interval == 0 or epoch == 0                 or epoch == args.epochs - 1:
+        if args.render_interval > 0 and (
+                (epoch + 1) % args.render_interval == 0 or epoch == 0
+                or epoch == args.epochs - 1):
             images = render(env, action=best, n_steps=args.steps,
                             interval=max(args.steps // 50, 1))
             make_gif_from_numpy(images, log_dir, f"epoch{epoch}")
@@ -328,7 +330,8 @@ def main(args):
         np.save(log_dir / "ckpt" / f"actions_{epoch}.npy", acts)
         np.save(log_dir / "losses.npy", np.asarray(loss_log))
 
-        if (epoch + 1) % args.render_interval == 0 or epoch == 0:
+        if args.render_interval > 0 and (
+                (epoch + 1) % args.render_interval == 0 or epoch == 0):
             images = render(env, action=acts, n_steps=args.steps,
                             interval=max(args.steps // 50, 1))
             make_gif_from_numpy(images, log_dir, f"epoch{epoch}")
