@@ -178,6 +178,29 @@ def test_remat_window_matches_step(pour_vel_env):
                                    rtol=1e-9, atol=1e-12)
 
 
+def test_remat_window_multisubstep_env():
+    """The window:K scan restructure must also hold on a multi-substep env
+    (grip: substeps=5 — the per-step aux outputs carry an extra leading
+    axis through the window reshape)."""
+    from softmac_tpu import SoftMacEnv, load
+    cfg = load(str(ROOT / "softmac_tpu/config/demo_grip_config.py"))
+    base = np.load(ROOT / "envs/grip/grip_mpm_init_state.npy")
+    rng = np.random.RandomState(5)
+    pick = rng.choice(base.shape[0], 200, replace=False)
+    env = SoftMacEnv(cfg, init_particles=base[pick, :3])
+    actions = np.zeros((4, env.action_dim))
+    actions[:, 0] = 0.3
+    actions[:, 1] = -0.3
+    ref = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=2)
+    win = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=2,
+                               remat="window:2")
+    np.testing.assert_allclose(float(win["loss"]), float(ref["loss"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(win["action_grad"]),
+                               np.asarray(ref["action_grad"]),
+                               rtol=1e-9, atol=1e-12)
+
+
 def test_bptt_window_rollout(pour_vel_env):
     """Truncated-BPTT rollout: same forward values, finite gradients."""
     env = pour_vel_env
