@@ -184,8 +184,11 @@ def coupled_oracle_check():
     err_v = float(np.abs(np.asarray(mpm_f.v, np.float64).T - ov).max())
     err_q = float(np.abs(np.asarray(rigid_f.q, np.float64) - oq).max())
     err_qd = float(np.abs(np.asarray(rigid_f.qd, np.float64) - oqd).max())
-    ok = bool(err_x < 1e-4 and err_v < 5e-3
-              and err_q < 1e-4 and err_qd < 2e-2)
+    # measured on hardware: x 9.5e-8, v 4.2e-7, q 5.0e-8, qd 4.8e-6 —
+    # gates at ~20x those (f32 + bf16x3 class), tight enough to catch a
+    # real layout/precision regression
+    ok = bool(err_x < 2e-6 and err_v < 1e-5
+              and err_q < 2e-6 and err_qd < 1e-4)
     return ok, {"err_x_coupled": err_x, "err_v_coupled": err_v,
                 "err_rigid_q": err_q, "err_rigid_qd": err_qd}
 
