@@ -354,3 +354,22 @@ def test_g2p_gather_splat_vmap_batch(fam):
                 np.testing.assert_allclose(np.asarray(lv)[b],
                                            np.asarray(lo),
                                            rtol=1e-6, atol=1e-7)
+
+
+def test_chunk_meta_overflow_on_wide_tiles():
+    """A tile whose particles span more than the 16-row y-window must raise
+    the overflow flag (the contract that makes big SOFTMAC_TPU_TILE_C
+    values safe to *try*: bench asserts on the flag; see CLAUDE.md)."""
+    import jax.numpy as jnp
+    from softmac_tpu.ops import pallas_chunked as pcc
+
+    wy = 32
+    corner = (jnp.int32(0), jnp.int32(4), jnp.int32(0))
+    # 1536 scaled y positions spanning ~20 grid rows -> one tile, > _WY
+    py = jnp.linspace(5.0, 24.0, pcc._TILE_C)
+    _, ovf = pcc.chunk_meta(py, corner, wy)
+    assert bool(ovf)
+    # and a narrow span does not overflow
+    py2 = jnp.linspace(8.0, 14.0, pcc._TILE_C)
+    _, ovf2 = pcc.chunk_meta(py2, corner, wy)
+    assert not bool(ovf2)
