@@ -277,7 +277,7 @@ def _measure_env(env, steps=100, repeats=8):
     """Best-of-repeats fwd+bwd substeps/s on a jitted remat='none' rollout
     (store-all tape; TPU A/B'd 1.24x over per-step checkpoint at short
     horizons — scripts/diag_remat.py). steps=100 amortizes the per-call
-    dispatch overhead; 5 repeats ride out the tunnel's slow phases
+    dispatch overhead; the 8 repeats ride out the tunnel's slow phases
     (observed spread 41-109 substeps/s across identical calls —
     best-of-N measures the program, not the tunnel weather)."""
     import jax

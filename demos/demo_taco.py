@@ -360,11 +360,16 @@ if __name__ == "__main__":
     parser.add_argument("--cloth-damping", type=float, default=None,
                         help="override CLOTH.velocity_damping (0.05 keeps "
                              "the wrap states stable; default config 0.02)")
-    parser.add_argument("--bptt-window", type=int, default=20,
-                        help="truncated-BPTT window (env steps); 0 = full")
+    parser.add_argument("--bptt-window", type=int, default=None,
+                        help="truncated-BPTT window (env steps); 0 = full. "
+                             "Default: 20 with Adam, 0 (full horizon) with "
+                             "--line-search — the solving recipe needs "
+                             "untruncated gradients for its step direction")
     parser.add_argument("--line-search", action="store_true",
                         help="batched candidate-step line search (the "
-                             "demo_door driver) instead of Adam")
+                             "demo_door driver) instead of Adam; implies "
+                             "full-horizon gradients unless --bptt-window "
+                             "is given explicitly")
     parser.add_argument("--safeguard", action="store_true",
                         help="best-so-far rollback + lr halving on "
                              "overshoot (see demo_pour)")
@@ -372,4 +377,8 @@ if __name__ == "__main__":
                         help="evaluate + render the scripted fold that "
                              "generated the target, then exit")
     args = parser.parse_args()
+    if args.bptt_window is None:
+        # the line-search recipe needs the full-horizon gradient direction
+        # (ADVICE r3: a silently truncated window degrades it)
+        args.bptt_window = 0 if args.line_search else 20
     main(args)

@@ -168,7 +168,7 @@ def test_remat_window_matches_step(pour_vel_env):
     actions = np.zeros((4, 12))
     actions[:, 2] = 1.5
     ref = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=2)
-    for k in (2, 3):   # 3 does not divide the block of 2 -> falls back to 1
+    for k in (2, 3):   # K=3 > block of 2 -> clamps to k=2
         win = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=2,
                                    remat=f"window:{k}")
         np.testing.assert_allclose(float(win["loss"]), float(ref["loss"]),
@@ -176,6 +176,16 @@ def test_remat_window_matches_step(pour_vel_env):
         np.testing.assert_allclose(np.asarray(win["action_grad"]),
                                    np.asarray(ref["action_grad"]),
                                    rtol=1e-9, atol=1e-12)
+    # genuine non-divisor fallback: block=4 (stride 4, substeps 1), K=3 does
+    # not divide 4 -> largest-divisor loop lands on k=2
+    ref4 = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=4)
+    win4 = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=4,
+                                remat="window:3")
+    np.testing.assert_allclose(float(win4["loss"]), float(ref4["loss"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(win4["action_grad"]),
+                               np.asarray(ref4["action_grad"]),
+                               rtol=1e-9, atol=1e-12)
 
 
 def test_remat_window_multisubstep_env():
@@ -191,8 +201,8 @@ def test_remat_window_multisubstep_env():
     actions = np.zeros((4, env.action_dim))
     actions[:, 0] = 0.3
     actions[:, 1] = -0.3
-    ref = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=2)
-    win = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=2,
+    ref = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=10)
+    win = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=10,
                                remat="window:2")
     np.testing.assert_allclose(float(win["loss"]), float(ref["loss"]),
                                rtol=1e-12)
