@@ -292,11 +292,13 @@ def _measure_env(env, steps=100, repeats=8):
                                    loss_stride=steps, remat="none")
         jax.block_until_ready(out["loss"])
         times.append(time.time() - t0)
-    rate = steps * env.substeps / min(times)
+    work = steps * env.substeps
+    rate_best = work / min(times)
+    rate_median = work / float(np.median(times))
     assert np.isfinite(float(out["loss"])), "benchmark rollout diverged"
     assert not bool(out["terms"].get("window_overflow", False)), \
         "active window overflowed"
-    return rate
+    return rate_best, rate_median
 
 
 def roofline(n_particles, window, rate_fwd_bwd):
@@ -383,16 +385,19 @@ def main():
         sys.exit(1)
 
     env = build_headline_env()
-    rate = _measure_env(env)
+    rate, rate_median = _measure_env(env)
     window = tuple(env.mpm_cfg.active_window)
     del env
 
     try:
         pv_env = build_pour_vel_env()
-        pour_vel_rate = round(_measure_env(pv_env), 2)
+        pv_best, pv_median = _measure_env(pv_env)
+        pour_vel_rate = round(pv_best, 2)
+        pour_vel_median = round(pv_median, 2)
         del pv_env
     except Exception as e:  # never let the secondary metric sink the headline
         pour_vel_rate = f"error: {type(e).__name__}: {e}"[:200]
+        pour_vel_median = None
 
     oracle_ok, oracle_info = tpu_oracle_check()
     try:
@@ -403,9 +408,18 @@ def main():
         "metric": "fwd+bwd substeps/sec @ 1e5 particles (demo_pour flagship scene: mixed contact + rigid, 64^3 grid)",
         "value": round(rate, 2),
         "unit": "substeps/s",
+        # best-of-8 (the program's speed in a fast tunnel phase) AND the
+        # steadier median-of-8: identical programs spread 93-113/s run to
+        # run through the tunnel (BASELINE.md) — report both
+        "value_median": round(rate_median, 2),
         "vs_baseline": round(rate / ASSUMED_TAICHI_CPU_BASELINE, 2),
+        "vs_baseline_median": round(rate_median / ASSUMED_TAICHI_CPU_BASELINE, 2),
+        # vs_baseline divides by an ESTIMATED 10 substeps/s Taichi-CPU rate
+        # (Taichi is uninstallable here; BASELINE.md documents the estimate)
+        "baseline_estimated": True,
         "vs_measured_torch_cpu": round(rate / MEASURED_TORCH_CPU_FWDBWD, 1),
         "pour_vel_secondary": pour_vel_rate,
+        "pour_vel_secondary_median": pour_vel_median,
         "tpu_oracle_ok": oracle_ok,
         "tpu_oracle_err": oracle_info,
         "batched": batched,
