@@ -33,6 +33,13 @@ def get_init_actions(args, env, choice=0, adjust=False):
 
 def main(args):
     log_dir, cfg = prepare(args)
+    if args.body_contact:
+        # rigid-rigid penalty contact (glass vs bowl clink; the Jade world
+        # resolves this via LCP in the reference) — off by default since
+        # the reference trajectory never makes the bodies touch
+        cfg.defrost()
+        cfg.RIGID.body_contact = True
+        cfg.freeze()
 
     env = SoftMacEnv(cfg)
     try:
@@ -139,6 +146,9 @@ if __name__ == "__main__":
                              "(scripts/diag_remat.py for the A/B)")
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--body-contact", action="store_true",
+                        help="enable rigid-rigid penalty contact between "
+                             "the glass and the bowl (RIGID.body_contact)")
     parser.add_argument("--safeguard", action="store_true",
                         help="reject overshooting Adam steps (rollback + lr "
                              "halving); off = raw reference driver")

@@ -57,6 +57,15 @@ RIGID.ext_grad_scale = 1.0               # damping for mpm->rigid gradients
 RIGID.floor_height = -0.08               # penalty-contact floor plane (y)
 RIGID.floor_stiffness = 1e4
 RIGID.floor_damping = 10.0
+# rigid-rigid (body-body) penalty contact — differentiable stand-in for the
+# Jade/DART world's skeleton-vs-skeleton LCP contact (reference
+# rigid_simulator.py:17-45). Off by default: no reference scene exercises
+# body-body contact (pour's glass and bowl never touch).
+RIGID.body_contact = False
+RIGID.body_contact_stiffness = 1e4
+RIGID.body_contact_damping = 10.0
+RIGID.body_contact_friction = 0.5
+RIGID.body_contact_points = 256       # surface samples per body
 
 # ---------------------------------------------------------------------------- #
 # Cloth simulator (soft_cloth variant)

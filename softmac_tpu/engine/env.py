@@ -420,7 +420,8 @@ class SoftMacEnv:
                 bodies_c, action.astype(self.dtype))
         elif self.rigid_model is not None:
             rigid_action = action if self.control_mode == "rigid" else None
-            rigid = self.rigid_model.step(rigid, rigid_action, ext_f)
+            rigid = self.rigid_model.step(rigid, rigid_action, ext_f,
+                                          prims=prims)
             bodies = self.rigid_model.body_states(rigid)
         else:
             bodies = bodies_c
@@ -667,7 +668,7 @@ class SoftMacEnv:
                 mass = model.compensation_mass(i)
                 if mass is not None:
                     adj = _free_compensate(adj, b.q_offset, i, mass)
-            rigid = model.step(rigid, adj, ext_f)
+            rigid = model.step(rigid, adj, ext_f, prims=prims)
             bodies = model.body_states(rigid)
             return (mpm, bodies, rigid), adj
 

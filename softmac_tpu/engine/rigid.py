@@ -54,6 +54,7 @@ class _BodyDef:
     axis: np.ndarray            # moving link's joint frame)
     gravity_on: bool
     support_points: np.ndarray  # (K,3) body-frame points for floor penalty
+    contact_points: np.ndarray  # (K,3) body-frame surface samples
     skeleton: int
     limit_lower: float = -np.inf
     limit_upper: float = np.inf
@@ -103,6 +104,19 @@ class RigidModel:
         # DART applies it when declared). Without it a gram-scale hinge like
         # the door spins to its velocity limit and slams bang-bang.
         self.joint_damping = float(cfg.get("joint_damping", 0.0))
+        # rigid-rigid (body-body) penalty contact — differentiable stand-in
+        # for the LCP skeleton-vs-skeleton contact the reference inherits
+        # from the Jade/DART world (rigid_simulator.py:17-45, resolved
+        # inside nimble.timestep at :134). Off by default (no shipped scene
+        # exercises body-body contact); when on, step() needs the env's SDF
+        # tables (prims) to evaluate surface-point-vs-SDF penetration.
+        self.body_contact = bool(cfg.get("body_contact", False))
+        self.body_contact_stiffness = float(
+            cfg.get("body_contact_stiffness", 1e4))
+        self.body_contact_damping = float(cfg.get("body_contact_damping", 10.0))
+        self.body_contact_friction = float(
+            cfg.get("body_contact_friction", 0.5))
+        self.body_contact_points = int(cfg.get("body_contact_points", 256))
 
         self.bodies: List[_BodyDef] = []
         self.skeleton_ndof: List[int] = []
@@ -179,8 +193,10 @@ class RigidModel:
                 jj, anc, jpos, jrot = info[j.child]
                 ndof = {"floating": 6, "revolute": 1, "prismatic": 1,
                         "continuous": 1, "fixed": 0}[j.jtype]
-                verts, _ = load_obj(link.mesh_path)
+                verts, vfaces = load_obj(link.mesh_path)
                 support = _support_points(verts)
+                csamples = _surface_points(verts, vfaces,
+                                           self.body_contact_points)
                 if j.jtype == "fixed" and anc is not None:
                     # mesh link welded onto a moving link: a kinematic
                     # primitive riding the ancestor (jpos/jrot are its fixed
@@ -204,6 +220,7 @@ class RigidModel:
                           / np.linalg.norm(j.axis)),
                     gravity_on=True,
                     support_points=support,
+                    contact_points=csamples,
                     skeleton=skel_id,
                     limit_lower=getattr(j, "limit_lower", -np.inf),
                     limit_upper=getattr(j, "limit_upper", np.inf),
@@ -297,6 +314,18 @@ class RigidModel:
         self.action_dim = offset
         self.n_primitives = len(self.bodies)
         self.transform_action = False  # API parity; actions are world-frame
+
+        # body-body collision pairs: cross-skeleton only (DART's world
+        # collision detector; within-skeleton self-collision is off by
+        # default in DART and in every reference scene), and at least one
+        # side must be dynamic
+        dyn = [b.jtype != "fixed" for b in self.bodies]
+        self._contact_pairs = [
+            (i, j)
+            for i in range(self.n_primitives)
+            for j in range(i + 1, self.n_primitives)
+            if (self.bodies[i].skeleton != self.bodies[j].skeleton
+                and (dyn[i] or dyn[j]))]
 
         # initial state
         if len(cfg.init_state) > 0:
@@ -437,9 +466,11 @@ class RigidModel:
 
     # ------------------------------------------------------------------
     def step(self, state: RigidState, action: Optional[jnp.ndarray],
-             ext_f: jnp.ndarray) -> RigidState:
+             ext_f: jnp.ndarray, prims=None) -> RigidState:
         """Semi-implicit Euler step. ext_f: (B, 6) window-averaged wrench
-        [force, torque-about-body-origin] per primitive."""
+        [force, torque-about-body-origin] per primitive. ``prims`` (per-body
+        SDF tables, same order as bodies) is required when
+        ``RIGID.body_contact`` is on."""
         if action is None:
             action = jnp.zeros((self.action_dim,), self.dtype)
         action = action.reshape(-1)[: self.action_dim]
@@ -460,9 +491,20 @@ class RigidModel:
 
         weld_slots = [s for s, b in enumerate(self.bodies)
                       if b.jtype == "weld"]
-        need_states = bool(weld_slots) or (self.enable_floor
-                                           and bool(self._chains))
+        do_body_contact = self.body_contact and bool(self._contact_pairs)
+        need_states = (bool(weld_slots) or do_body_contact
+                       or (self.enable_floor and bool(self._chains)))
         bs = self.body_states(state) if need_states else None
+        if do_body_contact:
+            if prims is None:
+                raise ValueError(
+                    "RIGID.body_contact is on but no SDF tables were passed "
+                    "to RigidModel.step(prims=...)")
+            # added AFTER the ext-force-flag mask (like the floor penalty,
+            # body contact acts regardless of enable_external_force) and
+            # BEFORE the weld fold (contact on a welded primitive must act
+            # on its composite carrier)
+            ext_f = ext_f + self.body_contact_wrenches(bs, prims)
         if weld_slots:
             # contact (and floor) wrenches on welded primitives act on the
             # composite body: shift each to the parent's origin
@@ -632,6 +674,73 @@ class RigidModel:
         tau = jnp.sum(jnp.cross(r, f), axis=0)
         return jnp.sum(f, axis=0), tau
 
+    # ------------------------------------------------------------------
+    # rigid-rigid (body-body) penalty contact
+    # ------------------------------------------------------------------
+    def body_contact_wrenches(self, bs: BodyState, prims) -> jnp.ndarray:
+        """(B, 6) world wrenches [force, torque-about-body-origin] from
+        body-body penalty contact over all cross-skeleton pairs.
+
+        Differentiable replacement for the Jade/DART world's LCP
+        skeleton-skeleton contact (reference rigid_simulator.py:17-45).
+        Two-sided sampling: each pair is evaluated as A-points-vs-B-SDF plus
+        B-points-vs-A-SDF, so face-face and edge-face configurations are
+        caught from either side. Forces are equal-and-opposite at the same
+        world points, so total linear momentum is conserved exactly under
+        the shared semi-implicit step and angular momentum to O(dt)."""
+        slots = sorted({s for p in self._contact_pairs for s in p})
+        world = {s: self._world_state_of(bs, s) for s in slots}
+        wr = jnp.zeros((self.n_primitives, 6), self.dtype)
+        for i, j in self._contact_pairs:
+            for a, b in ((i, j), (j, i)):
+                wr = self._points_vs_sdf_wrench(wr, a, b, world, prims)
+        return wr
+
+    def _points_vs_sdf_wrench(self, wr, a: int, b: int, world, prims):
+        """Penalty wrench from body a's surface samples against body b's
+        SDF, accumulated into both rows of ``wr``."""
+        from softmac_tpu.engine import sdf as sdf_mod
+
+        pts = jnp.asarray(self.bodies[a].contact_points, self.dtype)  # (K,3)
+        pos_a, q_a, v_a, w_a = world[a]
+        pos_b, q_b, v_b, w_b = world[b]
+        p_w = Q.qrot(jnp.broadcast_to(q_a, (pts.shape[0], 4)), pts) + pos_a
+        sdf, n_t = sdf_mod.sample_sdf_normal_world(
+            prims[b],
+            (pos_b[0], pos_b[1], pos_b[2]),
+            (q_b[0], q_b[1], q_b[2], q_b[3]),
+            (p_w[:, 0], p_w[:, 1], p_w[:, 2]))
+        n = jnp.stack(n_t, axis=-1)                       # (K,3) world, unit
+        act = (sdf < 0.0).astype(self.dtype)              # BIG outside box
+
+        r_a = p_w - pos_a
+        r_b = p_w - pos_b
+        v_pa = v_a + jnp.cross(jnp.broadcast_to(w_a, r_a.shape), r_a)
+        v_pb = v_b + jnp.cross(jnp.broadcast_to(w_b, r_b.shape), r_b)
+        v_rel = v_pa - v_pb
+        vn = jnp.sum(v_rel * n, axis=-1)
+
+        pen = jnp.maximum(-sdf, 0.0) * act
+        fn = jnp.maximum(
+            self.body_contact_stiffness * pen
+            - self.body_contact_damping * vn * act, 0.0)
+
+        # Coulomb-clamped viscous friction (same stabilization as the
+        # MPM-side contact: an unclamped viscous term is a stiffness in
+        # disguise)
+        vt = v_rel - vn[:, None] * n
+        vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-24)
+        ft_mag = jnp.minimum(self.body_contact_damping * vt_norm,
+                             self.body_contact_friction * fn)
+        f = (fn[:, None] * n - ft_mag[:, None] * vt / vt_norm[:, None])
+        f = f * act[:, None]
+
+        F = jnp.sum(f, axis=0)
+        tau_a = jnp.sum(jnp.cross(r_a, f), axis=0)
+        tau_b = jnp.sum(jnp.cross(r_b, -f), axis=0)
+        return (wr.at[a, :3].add(F).at[a, 3:].add(tau_a)
+                  .at[b, :3].add(-F).at[b, 3:].add(tau_b))
+
 
 def _support_points(verts: np.ndarray, k: int = 8) -> np.ndarray:
     """Bounding-box corners of the collision mesh (floor-penalty contacts)."""
@@ -639,6 +748,36 @@ def _support_points(verts: np.ndarray, k: int = 8) -> np.ndarray:
     corners = np.array([[x, y, z] for x in (lo[0], hi[0])
                         for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
     return corners
+
+
+def _surface_points(verts: np.ndarray, faces: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic k-point surface sample for body-body contact.
+
+    Welded mesh vertices (dedup first — OBJ exports store per-face corners,
+    which would weight shared corners 4-6x), evenly strided down when the
+    mesh has more than k. Coarse meshes are filled UP to k with seeded
+    area-weighted samples on the triangle interiors: vertex-only sampling
+    has a coverage hole on large flat faces (two axis-aligned boxes slide
+    their corners along each other's surface planes and never register
+    penetration)."""
+    from softmac_tpu.engine.sdf import weld_vertices
+    v, f = weld_vertices(np.asarray(verts, np.float64),
+                         np.asarray(faces, np.int64))
+    if len(v) >= k:
+        return v[np.linspace(0, len(v) - 1, k).astype(int)]
+    a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=-1)
+    if area.sum() <= 0.0:
+        return v
+    rng = np.random.RandomState(0)
+    n_extra = k - len(v)
+    fi = rng.choice(len(f), n_extra, p=area / area.sum())
+    r1, r2 = rng.rand(n_extra), rng.rand(n_extra)
+    su = np.sqrt(r1)
+    extra = (a[fi] * (1 - su)[:, None]
+             + b[fi] * (su * (1 - r2))[:, None]
+             + c[fi] * (su * r2)[:, None])
+    return np.concatenate([v, extra])
 
 
 class RigidVelocityModel:
