@@ -37,12 +37,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
 
-# chunked-kernel tile for the 1e5-particle scenes (must be set before
-# softmac_tpu.ops.pallas_chunked is imported): 2048 measured 100.3 vs 91.7
-# substeps/s for the 1536 default on the flagship headline
-# (scripts/diag_tile sweep). Demos keep 1536 — at 5-10k particles a 2048
-# tile can span more than the kernels' 16-row y-window.
-os.environ.setdefault("SOFTMAC_TPU_TILE_C", "2048")
+# chunked-kernel tile: auto-selected per scene (mpm.auto_chunk_tile — the
+# 1e5-particle headline resolves to 2048, the measured-fastest safe tile;
+# SOFTMAC_TPU_TILE_C still overrides for sweeps).
 
 import numpy as np
 
@@ -301,7 +298,7 @@ def _measure_env(env, steps=100, repeats=8):
     return rate_best, rate_median
 
 
-def roofline(n_particles, window, rate_fwd_bwd):
+def roofline(n_particles, window, rate_fwd_bwd, tile_c=None):
     """Analytic per-substep FLOP / HBM-byte accounting for the production
     chunked-kernel path (ops/pallas_chunked.py), reported against the
     chip peaks.
@@ -325,7 +322,8 @@ def roofline(n_particles, window, rate_fwd_bwd):
     traffic); its conclusion is robust at this distance from the peak.
     """
     wx, wy, wz = window
-    T = int(os.environ.get("SOFTMAC_TPU_TILE_C", "1536"))
+    T = int(tile_c) if tile_c else \
+        int(os.environ.get("SOFTMAC_TPU_TILE_C", "1536"))
     S = 16 * wz
     n_tiles = -(-n_particles // T)
 
@@ -387,6 +385,7 @@ def main():
     env = build_headline_env()
     rate, rate_median = _measure_env(env)
     window = tuple(env.mpm_cfg.active_window)
+    tile_c = int(env.mpm_cfg.chunk_tile)
     del env
 
     try:
@@ -424,8 +423,8 @@ def main():
         "tpu_oracle_err": oracle_info,
         "batched": batched,
         "active_window": list(window),
-        "tile_c": int(os.environ.get("SOFTMAC_TPU_TILE_C", "1536")),
-        "roofline": roofline(100_000, window, rate),
+        "tile_c": tile_c,
+        "roofline": roofline(100_000, window, rate, tile_c),
     }))
 
 

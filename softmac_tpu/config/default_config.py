@@ -109,6 +109,9 @@ TPU.compute_dtype = "auto"                # "auto": f32 on TPU, f64 on CPU x64
 TPU.remat = True                          # jax.checkpoint on substeps/env steps
 TPU.loss_block = 20                       # env steps per trajectory sample block
 TPU.use_pallas = "auto"                   # "auto" | True | False: pallas hot ops
+TPU.tile_c = "auto"                       # chunked-kernel particle tile:
+                                          # "auto" = per-scene (mpm.auto_chunk_tile);
+                                          # int overrides; env SOFTMAC_TPU_TILE_C wins
 
 
 def get_cfg_defaults():

@@ -56,10 +56,19 @@ class ClothModel:
                  k_stretch: float, k_bend: float, density: float, dt: float,
                  attachment_idx: Sequence[int], gravity: float = -9.8,
                  n_iterations: int = 20, attachment_stiffness: float = 1e5,
-                 velocity_damping: float = 0.02, dtype=jnp.float32):
+                 velocity_damping: float = 0.02, convergence_tol=None,
+                 dtype=jnp.float32):
         self.dtype = dtype
         self.dt = float(dt)
         self.n_iterations = int(n_iterations)
+        # DiffCloth iterates its forward solve to forwardConvergenceThresh
+        # (demo_taco_config.py:67). When the sceneConfig carries it, the PD
+        # scan freezes iterates once the fixed-point residual drops below
+        # the threshold (masked early-stop: bounded cost, differentiable,
+        # and identical to the fixed-count solve when never reached —
+        # e.g. 1e-8 is below f32 resolution at O(1) positions).
+        self.convergence_tol = (None if convergence_tol is None
+                                else float(convergence_tol))
         # per-step velocity damping: the reference's DiffCloth solves implicit
         # Euler, which is numerically dissipative; an undamped PD cloth keeps
         # flapping at m/s speeds and (in the hit scene) sweeps through the
@@ -129,6 +138,54 @@ class ClothModel:
         return self.rest_verts[self.attachment_idx].reshape(-1).copy()
 
     # ------------------------------------------------------------------
+    def _base_rhs_and_pred(self, state: ClothState, attach_pos, ext_f):
+        dt = self.dt
+        m = self._mass_j[:, None]
+        if attach_pos is None:
+            attach_pos = jnp.asarray(
+                self.rest_verts[self.attachment_idx], self.dtype)
+        attach_pos = attach_pos.reshape(-1, 3).astype(self.dtype)
+        g = jnp.asarray(self.gravity, self.dtype)
+        x_pred = state.x + dt * state.v + (dt * dt) * (ext_f / m + g)
+        base_rhs = (m / dt ** 2) * x_pred
+        base_rhs = base_rhs.at[self._att].add(
+            self.attachment_stiffness * attach_pos)
+        return base_rhs, x_pred
+
+    def _pd_iteration(self, base_rhs, y):
+        """One PD local/global iteration (the fixed-point map y -> T(y))."""
+        # positions are O(1) while PD displacements are O(1e-4): bf16 matmul
+        # noise alone injects ~1e-2 position jitter, so force full precision
+        prec = jax.lax.Precision.HIGHEST
+        rhs = base_rhs
+        for (D, Jk, rest) in self._edge_ops:
+            d = jnp.matmul(D, y, precision=prec)
+            dn = d / jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True) + 1e-18)
+            rhs = rhs + jnp.matmul(Jk, rest * dn, precision=prec)
+        return jnp.matmul(self._Ainv, rhs, precision=prec)
+
+    def _solve(self, base_rhs, x_pred):
+        if self.convergence_tol is None:
+            def iteration(y, _):
+                return self._pd_iteration(base_rhs, y), None
+            y, _ = jax.lax.scan(iteration, x_pred, None,
+                                length=self.n_iterations)
+            return y
+
+        tol = jnp.asarray(self.convergence_tol, self.dtype)
+
+        def iteration(carry, _):
+            y, done = carry
+            y_next = self._pd_iteration(base_rhs, y)
+            res = jnp.max(jnp.abs(y_next - y))
+            y_out = jnp.where(done, y, y_next)
+            return (y_out, done | (res < tol)), None
+
+        (y, _), _ = jax.lax.scan(
+            iteration, (x_pred, jnp.zeros((), bool)), None,
+            length=self.n_iterations)
+        return y
+
     def step(self, state: ClothState, attach_pos: Optional[jnp.ndarray],
              ext_f: jnp.ndarray) -> ClothState:
         """One env-dt projective-dynamics step.
@@ -136,38 +193,23 @@ class ClothModel:
         attach_pos: (n_att*3,) or (n_att,3) target handle positions (the
         action; None = hold at rest). ext_f: (V, 3) external force from MPM.
         """
-        dt = self.dt
-        m = self._mass_j[:, None]
-        x, v = state.x, state.v
-
-        if attach_pos is None:
-            attach_pos = jnp.asarray(
-                self.rest_verts[self.attachment_idx], self.dtype)
-        attach_pos = attach_pos.reshape(-1, 3).astype(self.dtype)
-
-        g = jnp.asarray(self.gravity, self.dtype)
-        x_pred = x + dt * v + (dt * dt) * (ext_f / m + g)
-
-        base_rhs = (m / dt ** 2) * x_pred
-        base_rhs = base_rhs.at[self._att].add(
-            self.attachment_stiffness * attach_pos)
-
-        # positions are O(1) while PD displacements are O(1e-4): bf16 matmul
-        # noise alone injects ~1e-2 position jitter, so force full precision
-        prec = jax.lax.Precision.HIGHEST  # cloth positions are O(1): always exact
-
-        def iteration(y, _):
-            rhs = base_rhs
-            for (D, Jk, rest) in self._edge_ops:
-                d = jnp.matmul(D, y, precision=prec)
-                dn = d / jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True) + 1e-18)
-                rhs = rhs + jnp.matmul(Jk, rest * dn, precision=prec)
-            y = jnp.matmul(self._Ainv, rhs, precision=prec)
-            return y, None
-
-        y, _ = jax.lax.scan(iteration, x_pred, None, length=self.n_iterations)
-        v_new = (1.0 - self.velocity_damping) * (y - x) / dt
+        base_rhs, x_pred = self._base_rhs_and_pred(state, attach_pos, ext_f)
+        y = self._solve(base_rhs, x_pred)
+        v_new = (1.0 - self.velocity_damping) * (y - state.x) / self.dt
         return ClothState(x=y, v=v_new)
+
+    def pd_residual(self, state: ClothState, attach_pos=None,
+                    ext_f=None) -> jnp.ndarray:
+        """Fixed-point residual max|T(y_K) - y_K| of the PD solve after the
+        configured iteration count for this step's inputs — the quantity
+        DiffCloth drives below ``forwardConvergenceThresh``
+        (demo_taco_config.py:67). Used by the convergence-parity
+        measurement (tests/test_cloth.py, PARITY.md)."""
+        if ext_f is None:
+            ext_f = jnp.zeros((self.n_vertices, 3), self.dtype)
+        base_rhs, x_pred = self._base_rhs_and_pred(state, attach_pos, ext_f)
+        y = self._solve(base_rhs, x_pred)
+        return jnp.max(jnp.abs(self._pd_iteration(base_rhs, y) - y))
 
 
 def parse_scene_config(scene: dict):
@@ -177,7 +219,7 @@ def parse_scene_config(scene: dict):
     gravity = -9.8
     if "gravity" in scene:
         gravity = -abs(float(scene["gravity"]))
-    return {
+    out = {
         "k_stretch": float(scene["fabric:k_stiff_stretching"]),
         "k_bend": float(scene["fabric:k_stiff_bending"]),
         "density": float(scene["fabric:density"]),
@@ -185,6 +227,14 @@ def parse_scene_config(scene: dict):
         "attachment_idx": att,
         "gravity": gravity,
     }
+    # DiffCloth's forward solve threshold (demo_taco_config.py:67) -> the
+    # PD scan's masked early-stop; solverIterations (our key — DiffCloth
+    # has no direct equivalent, its loop is unbounded) -> iteration count
+    if "forwardConvergenceThresh" in scene:
+        out["convergence_tol"] = float(scene["forwardConvergenceThresh"])
+    if "solverIterations" in scene:
+        out["n_iterations"] = int(scene["solverIterations"])
+    return out
 
 
 def transform_mesh(verts: np.ndarray, config: dict) -> np.ndarray:

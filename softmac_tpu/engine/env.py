@@ -151,6 +151,19 @@ class SoftMacEnv:
         active_window = None
         if "TPU" in cfg and cfg.TPU.get("active_window"):
             active_window = tuple(cfg.TPU.active_window)
+        # chunked-kernel tile (VERDICT r3 #5): env var (sweep tooling) >
+        # explicit cfg.TPU.tile_c > per-scene auto rule
+        import os as _os
+        chunk_tile = 0
+        if active_window:
+            t_env = _os.environ.get("SOFTMAC_TPU_TILE_C")
+            t_cfg = cfg.TPU.get("tile_c", "auto") if "TPU" in cfg else "auto"
+            if t_env:
+                chunk_tile = int(t_env)
+            elif t_cfg not in ("auto", None, 0, ""):
+                chunk_tile = int(t_cfg)
+            else:
+                chunk_tile = mpm_mod.auto_chunk_tile(self.n_particles)
         self.mpm_cfg = MPMConfig(
             n_particles=self.n_particles,
             n_grid=int(128 * quality),
@@ -170,6 +183,7 @@ class SoftMacEnv:
             contact_push_velocity_cap=float(
                 sim.get("contact_push_velocity_cap", np.inf)),
             cfl_velocity_clamp=float(sim.get("cfl_velocity_clamp", np.inf)),
+            chunk_tile=chunk_tile,
             dtype=self.dtype,
         )
         mu, lam = lame_parameters(sim.E, sim.nu, sim.ptype)
@@ -203,6 +217,10 @@ class SoftMacEnv:
             sp = parse_scene_config(scene)
             sp["dt"] = cfg.env_dt
             sp["velocity_damping"] = float(cfg.CLOTH.get("velocity_damping", 0.02))
+            if cfg.CLOTH.get("n_iterations"):
+                # CLOTH.n_iterations overrides the sceneConfig's
+                # solverIterations (and the default 20 PD iterations)
+                sp["n_iterations"] = int(cfg.CLOTH.n_iterations)
             self.cloth_model = ClothModel(cverts, cfaces, dtype=self.dtype, **sp)
 
             pcfg = cfg.PRIMITIVES  # cloth scenes: a single contact-param node
@@ -371,21 +389,47 @@ class SoftMacEnv:
         return (not self.has_cloth) and mpm_mod.sorted_transfers_wanted(
             self.mpm_cfg, self.dtype)
 
+    def _substep_loss_terms(self, mpm_s, weight, bodies=None, cloth=None,
+                            unsort_perm=None):
+        """Weighted loss terms at a MID-WINDOW substep state (the general
+        loss-stride path: the reference samples loss at ANY frame f via its
+        store-all tape, ``demo_pour.py:172-173``). Bodies/cloth hold the
+        window's forecast state, matching the reference's per-frame
+        primitive buffers."""
+        x_nd = mpm_s.x_nd
+        if unsort_perm is not None:
+            # losses may index particles (TransportLoss halves): restore
+            # original row order, same idiom as the block-boundary sample
+            x_nd = jnp.zeros_like(x_nd).at[unsort_perm].set(x_nd)
+        if cloth is not None:
+            sample = FrameSample(x=x_nd, bodies=None,
+                                 cloth_x=cloth[0], cloth_v=cloth[1])
+        else:
+            sample = FrameSample(x=x_nd, bodies=bodies)
+        return {k: weight * v for k, v in self.loss.terms(sample).items()}
+
     def _env_step_fn(self, carry, action, params=None, assume_sorted=False,
-                     prims=None, cloth_params=None):
-        """(carry, action) -> (carry, (overflow, ext_f)).
+                     prims=None, cloth_params=None, loss_weights=None,
+                     unsort_perm=None):
+        """(carry, action) -> (carry, (overflow, ext_f[, loss_terms])).
 
         ``params``/``prims``/``cloth_params`` default to the env's own
         (concrete) arrays; jitted callers pass them as TRACED arguments
         instead so the SDF tables (tens of MB per primitive) and the cloth
         adjacency tables are not baked into every compiled program as
         constants (compile-time, executable-size, and persistent-cache
-        bloat)."""
+        bloat).
+
+        ``loss_weights`` ((substeps,), optional) engages the general
+        loss-stride path: each substep k contributes weight[k] * loss
+        terms evaluated at its post-substep state, returned as an extra
+        aux dict (summed over the window)."""
         params = self.mpm_params if params is None else params
         prims = self.prims if prims is None else prims
         if self.has_cloth:
             return self._env_step_cloth(carry, action, params=params,
-                                        cloth_params=cloth_params)
+                                        cloth_params=cloth_params,
+                                        loss_weights=loss_weights)
         mpm, bodies, rigid = carry
         cfg = self.mpm_cfg
 
@@ -400,7 +444,8 @@ class SoftMacEnv:
         # (_build_rollout): particle arrays are then pre-sorted by y-cell and
         # the chunked Pallas kernels engage. Standalone callers (step(),
         # sharding, policy) use the default original-order path.
-        def sub(c, k):
+        def sub(c, kw):
+            k = kw if loss_weights is None else kw[0]
             mpm_s, bod = c
             mpm_s, extf, aux = mpm_mod.substep(
                 cfg, params, prims, mpm_s, bod, k, mpm_action,
@@ -408,10 +453,16 @@ class SoftMacEnv:
                 assume_sorted=assume_sorted)
             if self.rigid_vel_model is not None:
                 bod = RigidVelocityModel.forward_kinematics(bod, cfg.dt)
-            return (mpm_s, bod), (extf, aux["window_overflow"])
+            outs = (extf, aux["window_overflow"])
+            if loss_weights is not None:
+                outs = outs + (self._substep_loss_terms(
+                    mpm_s, kw[1], bodies=bod, unsort_perm=unsort_perm),)
+            return (mpm_s, bod), outs
 
-        (mpm, bodies_c), (extf, ovf) = jax.lax.scan(
-            sub, (mpm, bodies_c), jnp.arange(cfg.substeps))
+        xs = jnp.arange(cfg.substeps) if loss_weights is None else (
+            jnp.arange(cfg.substeps), loss_weights)
+        (mpm, bodies_c), subouts = jax.lax.scan(sub, (mpm, bodies_c), xs)
+        extf, ovf = subouts[0], subouts[1]
         ext_f = jnp.sum(extf, axis=0) / cfg.substeps  # window-averaged wrench
         overflow = jnp.any(ovf)
 
@@ -426,9 +477,13 @@ class SoftMacEnv:
         else:
             bodies = bodies_c
 
+        if loss_weights is not None:
+            terms = jax.tree.map(lambda t: jnp.sum(t, axis=0), subouts[2])
+            return (mpm, bodies, rigid), (overflow, ext_f, terms)
         return (mpm, bodies, rigid), (overflow, ext_f)
 
-    def _env_step_cloth(self, carry, action, params=None, cloth_params=None):
+    def _env_step_cloth(self, carry, action, params=None, cloth_params=None,
+                        loss_weights=None):
         """One coupled MPM+cloth window (soft_cloth taichi_env.py:74-96):
         N substeps with contact-pair/penetration updates against the forecast
         cloth state, then one cloth PD step consuming the averaged vertex
@@ -457,7 +512,8 @@ class SoftMacEnv:
         cloth_c = grad_scale(cloth, self.ext_grad_scale)
         cloth_xf, cloth_vf = cloth_c.x, cloth_c.v  # forecast for the window
 
-        def sub(c, k):
+        def sub(c, kw):
+            k = kw if loss_weights is None else kw[0]
             mpm_s, pen_s = c
             x_prev = (mpm_s.x[0], mpm_s.x[1], mpm_s.x[2])
             mpm_s, extv, aux = mpm_mod.substep_cloth(
@@ -470,10 +526,16 @@ class SoftMacEnv:
             pen_s = trace_penetration_after_mpm(
                 cparams, cloth_xf, x_new, x_prev, pen_s, cid)
             pen_s = jax.lax.stop_gradient(pen_s)
-            return (mpm_s, pen_s), (extv, aux["window_overflow"])
+            outs = (extv, aux["window_overflow"])
+            if loss_weights is not None:
+                outs = outs + (self._substep_loss_terms(
+                    mpm_s, kw[1], cloth=(cloth_xf, cloth_vf)),)
+            return (mpm_s, pen_s), outs
 
-        (mpm, pen), (extv, ovf) = jax.lax.scan(
-            sub, (mpm, pen), jnp.arange(cfg.substeps))
+        xs = jnp.arange(cfg.substeps) if loss_weights is None else (
+            jnp.arange(cfg.substeps), loss_weights)
+        (mpm, pen), subouts = jax.lax.scan(sub, (mpm, pen), xs)
+        extv, ovf = subouts[0], subouts[1]
         ext_vertex_f = jnp.sum(extv, axis=0) / cfg.substeps
         overflow = jnp.any(ovf)
 
@@ -487,6 +549,9 @@ class SoftMacEnv:
             cparams, cloth.x, cloth_xf, x_now, pen, cid2)
         pen = jax.lax.stop_gradient(pen)
 
+        if loss_weights is not None:
+            terms = jax.tree.map(lambda t: jnp.sum(t, axis=0), subouts[2])
+            return (mpm, cloth, pen), (overflow, ext_vertex_f, terms)
         return (mpm, cloth, pen), (overflow, ext_vertex_f)
 
     # ==================================================================
@@ -682,23 +747,54 @@ class SoftMacEnv:
     # functional rollout (the fast path used by demos / bench)
     # ==================================================================
     def _sample_mask(self, n_steps, loss_start_frame, loss_stride):
-        """Per-block loss weights replicating ``range(start, T+1, stride)``."""
-        block = max(loss_stride // self.substeps, 1)
-        n_blocks = n_steps // block
-        frames = (np.arange(1, n_blocks + 1)) * block * self.substeps
-        start = 0 if loss_start_frame is None else loss_start_frame
-        mask = ((frames >= start) & ((frames - start) % loss_stride == 0))
-        include_f0 = (start == 0)
-        return block, n_blocks, mask.astype(np.float64), include_f0
+        """Loss-frame sampling replicating ``range(start, T+1, stride)``
+        over substep-indexed frames (reference ``demo_pour.py:172-173``).
+
+        Fast path (all demo configs): every sampled frame >= 1 lands on a
+        loss-block boundary -> per-block 0/1 mask, loss evaluated only at
+        block-boundary samples (sub_weights None). General path (ANY
+        start/stride — e.g. stride 7 on a 5-substep env): block degenerates
+        to 1 and sub_weights (n_steps, substeps) selects the sampled
+        substeps; the loss is then accumulated INSIDE the substep scan
+        (_substep_loss_terms), replicating the reference's ability to
+        sample its store-all tape at any frame."""
+        start = 0 if loss_start_frame is None else int(loss_start_frame)
+        total = n_steps * self.substeps
+        wanted = set(range(start, total + 1, int(loss_stride)))
+        include_f0 = 0 in wanted
+        block = max(int(loss_stride) // self.substeps, 1)
+        if n_steps % block == 0:
+            n_blocks = n_steps // block
+            frames = np.arange(1, n_blocks + 1) * block * self.substeps
+            mask = np.isin(frames, sorted(wanted))
+            if set(frames[mask].tolist()) == (wanted - {0}):
+                return (block, n_blocks, mask.astype(np.float64),
+                        include_f0, None)
+        # general path: block = 1. Frames landing on a WINDOW boundary are
+        # sampled at the post-step block sample (post-rigid/cloth-step
+        # bodies — what the reference's per-frame primitive buffers hold
+        # there); true mid-window frames are weighted inside the substep
+        # scan against the window's forecast body state.
+        w = np.zeros((n_steps, self.substeps))
+        bmask = np.zeros((n_steps,))
+        for f in sorted(wanted - {0}):
+            t, k = divmod(f - 1, self.substeps)
+            if k == self.substeps - 1:
+                bmask[t] = 1.0
+            else:
+                w[t, k] = 1.0
+        return 1, n_steps, bmask, include_f0, w
 
     def _build_rollout(self, n_steps, loss_start_frame, loss_stride, with_grad,
                        bptt_window=None, grad_clip=None, batched=False,
                        remat="step"):
-        block, n_blocks, mask_np, include_f0 = self._sample_mask(
+        block, n_blocks, mask_np, include_f0, sub_w = self._sample_mask(
             n_steps, loss_start_frame, loss_stride)
-        assert n_blocks * block == n_steps, (
-            f"steps ({n_steps}) must be a multiple of the loss block ({block})")
+        assert n_blocks * block == n_steps
         mask = jnp.asarray(mask_np, self.dtype)
+        # general (per-substep) loss sampling path: see _sample_mask
+        use_general = sub_w is not None and self.loss is not None
+        w_all = (jnp.asarray(sub_w, self.dtype) if use_general else None)
 
         # Sorted-carry (TPU chunked-kernel path): the rigid-path carry is
         # extended to (core, params_sorted, perm) where perm maps current
@@ -734,14 +830,19 @@ class SoftMacEnv:
         if use_sort:
             def env_step_s(prims, params, cparams, c, a):
                 core, params_s, perm = c
+                kw = ({"loss_weights": a[1], "unsort_perm": perm}
+                      if use_general else {})
                 core, out = self._env_step_fn(
-                    core, a, params=params_s, assume_sorted=True, prims=prims)
+                    core, a[0] if use_general else a, params=params_s,
+                    assume_sorted=True, prims=prims, **kw)
                 return (core, params_s, perm), out
             env_step = wrap(env_step_s)
         else:
             def env_step_d(prims, params, cparams, c, a):
-                return self._env_step_fn(c, a, params=params, prims=prims,
-                                         cloth_params=cparams)
+                kw = {"loss_weights": a[1]} if use_general else {}
+                return self._env_step_fn(
+                    c, a[0] if use_general else a, params=params,
+                    prims=prims, cloth_params=cparams, **kw)
             env_step = wrap(env_step_d)
 
         def _resort(carry):
@@ -770,13 +871,14 @@ class SoftMacEnv:
             window_ck = jax.checkpoint(window_fn)
 
             def scan_steps(prims, params, cparams, carry, action_block):
-                carry, (ovf, aux) = jax.lax.scan(
+                xs = jax.tree.map(
+                    lambda s: s.reshape((block // k, k) + s.shape[1:]),
+                    action_block)
+                carry, outs = jax.lax.scan(
                     functools.partial(window_ck, prims, params, cparams),
-                    carry, action_block.reshape(block // k, k, -1))
-                return carry, (ovf.reshape(-1),
-                               jax.tree.map(
-                                   lambda s: s.reshape((block,) + s.shape[2:]),
-                                   aux))
+                    carry, xs)
+                return carry, jax.tree.map(
+                    lambda s: s.reshape((block,) + s.shape[2:]), outs)
         else:
             def scan_steps(prims, params, cparams, carry, action_block):
                 return jax.lax.scan(
@@ -793,8 +895,13 @@ class SoftMacEnv:
                     carry = clip_cotangent(carry, float(grad_clip))
             if use_sort:
                 carry = _resort(carry)
-            carry, (ovf, _) = scan_steps(prims, params, cparams, carry,
-                                         action_block)
+            carry, outs = scan_steps(prims, params, cparams, carry,
+                                     action_block)
+            ovf = outs[0]
+            terms_blk = None
+            if use_general:
+                terms_blk = jax.tree.map(lambda t: jnp.sum(t, axis=0),
+                                         outs[2])
             n_pen = jnp.zeros((), jnp.int32)
             if self.has_cloth:
                 mpm, cloth, pen = carry
@@ -813,6 +920,8 @@ class SoftMacEnv:
             else:
                 mpm, bodies, _ = carry
                 sample = FrameSample(x=mpm.x_nd, bodies=bodies)
+            if use_general:
+                return carry, (sample, jnp.any(ovf), n_pen, terms_blk)
             return carry, (sample, jnp.any(ovf), n_pen)
 
         def _sort_in(carry0, params):
@@ -845,66 +954,65 @@ class SoftMacEnv:
                 carry, action_seg)
             return jax.lax.stop_gradient(carry), ys
 
-        def rollout(actions, carry0, prims, params, cparams):
-            bf = functools.partial(block_fn, prims, params, cparams)
-            carry_run = _sort_in(carry0, params) if use_sort else carry0
-            if n_segments > 1:
-                ab = actions.reshape(n_segments, seg_blocks, block, -1)
-                carry, (samples, ovf, npen) = jax.lax.scan(
-                    functools.partial(segment_fn, prims, params, cparams),
-                    carry_run, ab)
-                samples = jax.tree.map(
-                    lambda s: s.reshape((n_blocks,) + s.shape[2:]), samples)
-                ovf = ovf.reshape(-1)
-                loss_total = jnp.zeros((), self.dtype)
-                terms_acc = {"window_overflow": jnp.any(ovf)}
-                if self.has_cloth:
-                    terms_acc["n_penetration"] = npen.reshape(-1)[-1]
-                if self.loss is not None:
-                    per_block = jax.lax.map(self.loss.terms, samples)
-                    for k, v in per_block.items():
-                        terms_acc[k] = jnp.sum(v * mask)
-                        loss_total = loss_total + terms_acc[k]
-                        terms_acc[f"final_{k}"] = v[-1]
-                    if include_f0:
-                        if self.has_cloth:
-                            mpm0, cloth0, _ = carry0
-                            s0 = FrameSample(x=mpm0.x_nd, bodies=None,
-                                             cloth_x=cloth0.x, cloth_v=cloth0.v)
-                        else:
-                            mpm0, bodies0, _ = carry0
-                            s0 = FrameSample(x=mpm0.x_nd, bodies=bodies0)
-                        for k, v in self.loss.terms(s0).items():
-                            terms_acc[k] = terms_acc[k] + v
-                            loss_total = loss_total + v
-                if use_sort:
-                    carry = _sort_out(carry)
-                return loss_total, (terms_acc, carry)
-            ab = actions.reshape(n_blocks, block, -1)
-            carry, (samples, ovf, npen) = jax.lax.scan(bf, carry_run, ab)
+        def _f0_sample(carry0):
+            if self.has_cloth:
+                mpm0, cloth0, _ = carry0
+                return FrameSample(x=mpm0.x_nd, bodies=None,
+                                   cloth_x=cloth0.x, cloth_v=cloth0.v)
+            mpm0, bodies0, _ = carry0
+            return FrameSample(x=mpm0.x_nd, bodies=bodies0)
 
+        def _accumulate(carry0, samples, ovf, npen, terms_blocks):
             loss_total = jnp.zeros((), self.dtype)
             terms_acc = {"window_overflow": jnp.any(ovf)}
             if self.has_cloth:
                 terms_acc["n_penetration"] = npen[-1]
             if self.loss is not None:
-                per_block = jax.lax.map(self.loss.terms, samples)
-                for k, v in per_block.items():
-                    terms_acc[k] = jnp.sum(v * mask)
-                    loss_total = loss_total + terms_acc[k]
-                    terms_acc[f"final_{k}"] = v[-1]
+                if use_general:
+                    # mid-window terms were weighted+summed inside the
+                    # substep scans; boundary-frame terms ride the block
+                    # mask like the fast path
+                    per_block = jax.lax.map(self.loss.terms, samples)
+                    for k, v in terms_blocks.items():
+                        terms_acc[k] = jnp.sum(v) + jnp.sum(
+                            per_block[k] * mask)
+                        loss_total = loss_total + terms_acc[k]
+                        terms_acc[f"final_{k}"] = per_block[k][-1]
+                else:
+                    per_block = jax.lax.map(self.loss.terms, samples)
+                    for k, v in per_block.items():
+                        terms_acc[k] = jnp.sum(v * mask)
+                        loss_total = loss_total + terms_acc[k]
+                        terms_acc[f"final_{k}"] = v[-1]
                 if include_f0:
-                    if self.has_cloth:
-                        mpm0, cloth0, _ = carry0
-                        s0 = FrameSample(x=mpm0.x_nd, bodies=None,
-                                         cloth_x=cloth0.x, cloth_v=cloth0.v)
-                    else:
-                        mpm0, bodies0, _ = carry0
-                        s0 = FrameSample(x=mpm0.x_nd, bodies=bodies0)
-                    t0 = self.loss.terms(s0)
-                    for k, v in t0.items():
+                    for k, v in self.loss.terms(_f0_sample(carry0)).items():
                         terms_acc[k] = terms_acc[k] + v
                         loss_total = loss_total + v
+            return loss_total, terms_acc
+
+        def rollout(actions, carry0, prims, params, cparams):
+            bf = functools.partial(block_fn, prims, params, cparams)
+            carry_run = _sort_in(carry0, params) if use_sort else carry0
+            xs = actions.reshape(n_blocks, block, -1)
+            if use_general:
+                xs = (xs, w_all.reshape(n_blocks, block, self.substeps))
+            if n_segments > 1:
+                xs = jax.tree.map(
+                    lambda s: s.reshape((n_segments, seg_blocks)
+                                        + s.shape[1:]), xs)
+                carry, ys = jax.lax.scan(
+                    functools.partial(segment_fn, prims, params, cparams),
+                    carry_run, xs)
+                ys = jax.tree.map(
+                    lambda s: s.reshape((n_blocks,) + s.shape[2:]), ys)
+            else:
+                carry, ys = jax.lax.scan(bf, carry_run, xs)
+            if use_general:
+                samples, ovf, npen, terms_blocks = ys
+            else:
+                (samples, ovf, npen), terms_blocks = ys, None
+            loss_total, terms_acc = _accumulate(carry0, samples, ovf, npen,
+                                                terms_blocks)
             if use_sort:
                 carry = _sort_out(carry)
             return loss_total, (terms_acc, carry)

@@ -189,6 +189,23 @@ def sorted_transfers_wanted(cfg: MPMConfig, dtype) -> bool:
             and not _os.environ.get("SOFTMAC_TPU_NO_SORT"))
 
 
+def auto_chunk_tile(n_particles: int) -> int:
+    """Largest safe chunked-kernel tile for a scene (VERDICT r3 #5 —
+    replaces the hand-carried SOFTMAC_TPU_TILE_C pins in bench/demos).
+
+    The safety contract is the chunked kernels' 16-row y-window: a tile's
+    sorted particles must span <= 6 grid rows (pallas_chunked.chunk_meta).
+    At >= 20k particles, >= 1000 particles share each occupied grid row,
+    so 2048-wide tiles span ~1 row even after the blob spreads (flagship
+    measurement: 2048 beats 1536 by ~9%). Below that, 2048 tiles have been
+    observed to overflow mid-rollout as 5-10k-particle blobs spread —
+    1536 is the round-3 demo-validated safe point. Init-state spans do NOT
+    separate the two regimes (pour measures span 4 at both widths), so the
+    rule is calibrated empirically and the runtime window_overflow flag
+    remains the enforced contract either way."""
+    return 2048 if n_particles >= 20_000 else 1536
+
+
 def sort_perm(cfg: MPMConfig, x_vec):
     """(perm, inv): permutation sorting particles by base y-cell, and its
     inverse. Gradients flow through the gathers that apply the permutation;
@@ -469,9 +486,10 @@ def substep(
         # rebuild all three axes' B-spline weights per tile from the scaled
         # position rows (pallas_chunked._waxis).
         from softmac_tpu.ops import pallas_chunked as pc
-        fam = pc.family(sizes)
+        fam = pc.family(sizes, cfg.chunk_tile or None)
         px, py, pz = (x[d] * cfg.inv_dx for d in range(3))
-        meta, c_ovf = pc.chunk_meta(py, corner, sizes[1])
+        meta, c_ovf = pc.chunk_meta(py, corner, sizes[1],
+                                    cfg.chunk_tile or None)
         if axis_name is not None:
             c_ovf = lax.pmax(c_ovf.astype(jnp.int32), axis_name) > 0
         overflow = overflow | c_ovf

@@ -128,6 +128,12 @@ class MPMConfig:
     # Grid-velocity clamp at this multiple of dx/dt (CFL cells-per-substep);
     # inf = off (reference parity). See mpm.cfl_clamp.
     cfl_velocity_clamp: float = np.inf
+    # Chunked-kernel particle-tile width (lanes). 0 = module default
+    # (SOFTMAC_TPU_TILE_C env or 1536); envs resolve "auto" per scene via
+    # mpm.auto_chunk_tile. Safety contract: a tile whose sorted y-span
+    # exceeds the kernels' 16-row window raises the rollout's
+    # window_overflow flag.
+    chunk_tile: int = 0
     dtype: Any = jnp.float32
 
     @property

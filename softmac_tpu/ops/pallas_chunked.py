@@ -50,7 +50,9 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-from softmac_tpu.ops.pallas_fused import _dot_t, _dot_rows, _dot00
+from softmac_tpu.ops.pallas_fused import (
+    _dot_t, _dot_rows, _dot00, _dot_t_bwd, _dot_rows_bwd, _dot00_bwd,
+)
 from softmac_tpu.ops import pallas_fused as _pf
 
 import os as _os
@@ -138,13 +140,14 @@ def _wy16(py, cyo):
     return _waxis(py, cyo, _WY)
 
 
-def _wy_xla(py, meta, wy, n):
+def _wy_xla(py, meta, wy, n, tile=None):
     """XLA reference: full (wy, N) window-row Wy/WDy from scaled positions,
     with rows outside each particle's tile window zeroed (the chunked
     kernels' truncation semantics). Derives the window corner and the
     per-particle local offsets from meta alone."""
     cy = (meta[2, 0] - meta[3, 0]).astype(py.dtype)
-    olocal = jnp.repeat(meta[3], _TILE_C)[:n].astype(py.dtype)
+    tile = _TILE_C if tile is None else int(tile)
+    olocal = jnp.repeat(meta[3], tile)[:n].astype(py.dtype)
     b = jnp.floor(py - 0.5)
     fx = py - b
     r = jnp.arange(wy, dtype=py.dtype)[:, None]
@@ -353,7 +356,7 @@ def _p2g_c_bwd_kernel(meta_ref, chan_ref,
     # dH-path
     r_all = jnp.concatenate([r_h_block(-1)] + [r_h_block(d) for d in range(3)],
                             axis=0)
-    t_ref[:] = _dot_rows(do1, r_all)              # dH
+    t_ref[:] = _dot_rows_bwd(do1, r_all)              # dH
     dwz = jnp.zeros_like(Wz)
     dwy_rows = []                 # (1, T) rows — Mosaic has no scatter, so
     for y in range(_WY):          # build dwy/dwdy by row-concatenation
@@ -363,7 +366,7 @@ def _p2g_c_bwd_kernel(meta_ref, chan_ref,
 
     r_dy = jnp.concatenate(
         [Wx * chan[5 + 3 * d:6 + 3 * d, :] for d in range(3)], axis=0)
-    t_ref[:] = _dot_rows(dmom, r_dy)              # dHDy
+    t_ref[:] = _dot_rows_bwd(dmom, r_dy)              # dHDy
     dwdy_rows = []
     for y in range(_WY):
         blk = t_ref[y * n_z:(y + 1) * n_z, :]
@@ -372,7 +375,7 @@ def _p2g_c_bwd_kernel(meta_ref, chan_ref,
 
     r_dz = jnp.concatenate(
         [Wx * chan[6 + 3 * d:7 + 3 * d, :] for d in range(3)], axis=0)
-    t_ref[:] = _dot_rows(dmom, r_dz)              # dHDz
+    t_ref[:] = _dot_rows_bwd(dmom, r_dz)              # dHDz
     dwdz = jnp.zeros_like(WDz)
     for y in range(_WY):
         blk = t_ref[y * n_z:(y + 1) * n_z, :]
@@ -384,7 +387,7 @@ def _p2g_c_bwd_kernel(meta_ref, chan_ref,
     # dR-path
     for y in range(_WY):
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * Wz
-    dr_h = _dot00(do1, h_ref[:])                  # (4*wx, T)
+    dr_h = _dot00_bwd(do1, h_ref[:])                  # (4*wx, T)
     dwx = chan[0:1, :] * dr_h[0:wx, :]
     dwxd = jnp.zeros_like(WxD)
     for d in range(3):
@@ -398,7 +401,7 @@ def _p2g_c_bwd_kernel(meta_ref, chan_ref,
 
     for y in range(_WY):
         h_ref[y * n_z:(y + 1) * n_z, :] = WDy[y:y + 1, :] * Wz
-    dr_dy = _dot00(dmom, h_ref[:])
+    dr_dy = _dot00_bwd(dmom, h_ref[:])
     for d in range(3):
         blk = dr_dy[d * wx:(d + 1) * wx, :]
         dwx = dwx + chan[5 + 3 * d:6 + 3 * d, :] * blk
@@ -407,7 +410,7 @@ def _p2g_c_bwd_kernel(meta_ref, chan_ref,
 
     for y in range(_WY):
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * WDz
-    dr_dz = _dot00(dmom, h_ref[:])
+    dr_dz = _dot00_bwd(dmom, h_ref[:])
     for d in range(3):
         blk = dr_dz[d * wx:(d + 1) * wx, :]
         dwx = dwx + chan[6 + 3 * d:7 + 3 * d, :] * blk
@@ -425,7 +428,7 @@ def _p2g_c_bwd_kernel(meta_ref, chan_ref,
 def _g2p_c_bwd_kernel(meta_ref, pv_ref,
                       gvpa_ref, gvpb_ref, g_ref,
                       dpv_ref, dgvpa_ref, dgvpb_ref,
-                      h_ref, hdy_ref, hdz_ref, dh_ref, dhdy_ref, dhdz_ref):
+                      h_ref, hdy_ref, hdz_ref):
     t = pl.program_id(0)
 
     @pl.when(meta_ref[1, t] == 1)
@@ -448,9 +451,9 @@ def _g2p_c_bwd_kernel(meta_ref, pv_ref,
     H, HDy, HDz = h_ref[:], hdy_ref[:], hdz_ref[:]
 
     gvp = jnp.concatenate([gvpa_ref[:], gvpb_ref[:]], axis=0)
-    M_all = _dot00(gvp, H)
-    MDy_all = _dot00(gvp, HDy)
-    MDz_all = _dot00(gvp, HDz)
+    M_all = _dot00_bwd(gvp, H)
+    MDy_all = _dot00_bwd(gvp, HDy)
+    MDz_all = _dot00_bwd(gvp, HDz)
     dwx = jnp.zeros_like(Wx)
     dwxd = jnp.zeros_like(WxD)
     r_h = []
@@ -471,25 +474,28 @@ def _g2p_c_bwd_kernel(meta_ref, pv_ref,
     rh = jnp.concatenate(r_h, axis=0)
     rdy = jnp.concatenate(r_dy, axis=0)
     rdz = jnp.concatenate(r_dz, axis=0)
-    dgvp = _dot_t(H, rh) + _dot_t(HDy, rdy) + _dot_t(HDz, rdz)
+    dgvp = _dot_t_bwd(H, rh) + _dot_t_bwd(HDy, rdy) + _dot_t_bwd(HDz, rdz)
     dgvpa_ref[:] += dgvp[:half]
     dgvpb_ref[:] += dgvp[half:]
 
-    dh_ref[:] = _dot_rows(gvp, rh)
-    dhdy_ref[:] = _dot_rows(gvp, rdy)
-    dhdz_ref[:] = _dot_rows(gvp, rdz)
+    # the H/HDy/HDz slabs are dead after the dgvp dot: reuse their scratch
+    # refs for the dH slabs (halves the kernel's scoped-vmem footprint —
+    # 6 slabs blew the 16 MB budget once the bwd dots changed shape)
+    h_ref[:] = _dot_rows_bwd(gvp, rh)       # dH
+    hdy_ref[:] = _dot_rows_bwd(gvp, rdy)    # dHDy
+    hdz_ref[:] = _dot_rows_bwd(gvp, rdz)    # dHDz
 
     dwz = jnp.zeros_like(Wz)
     dwdz = jnp.zeros_like(WDz)
     dwy_rows, dwdy_rows = [], []  # row-concat (no scatter in Mosaic)
     for y in range(_WY):
-        blk = dh_ref[y * n_z:(y + 1) * n_z, :]
-        blk_dz = dhdz_ref[y * n_z:(y + 1) * n_z, :]
+        blk = h_ref[y * n_z:(y + 1) * n_z, :]
+        blk_dz = hdz_ref[y * n_z:(y + 1) * n_z, :]
         dwy_rows.append(jnp.sum(Wz * blk, 0, keepdims=True)
                         + jnp.sum(WDz * blk_dz, 0, keepdims=True))
         dwz = dwz + Wy[y:y + 1, :] * blk
         dwdz = dwdz + Wy[y:y + 1, :] * blk_dz
-        blk_dy = dhdy_ref[y * n_z:(y + 1) * n_z, :]
+        blk_dy = hdy_ref[y * n_z:(y + 1) * n_z, :]
         dwdy_rows.append(jnp.sum(Wz * blk_dy, 0, keepdims=True))
         dwz = dwz + WDy[y:y + 1, :] * blk_dy
     dwy = jnp.concatenate(dwy_rows, axis=0)
@@ -618,11 +624,11 @@ def _specs(tile, wz, wx):
     return lane, grid_a, grid_b
 
 
-def _p2g_c_pallas(chan, meta, window):
+def _p2g_c_pallas(chan, meta, window, tile=None):
     wx, wy, wz = window
     n = chan.shape[1]
-    tile = _TILE_C
-    (chan,), n_pad = _pad_tile([chan], n)
+    tile = _TILE_C if tile is None else int(tile)
+    (chan,), n_pad = _pad_tile([chan], n, tile)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
 
@@ -652,11 +658,11 @@ def _p2g_c_pallas(chan, meta, window):
     return gm, gmom
 
 
-def _p2g_c_bwd_pallas(chan, meta, window, dgm, dgmom):
+def _p2g_c_bwd_pallas(chan, meta, window, dgm, dgmom, tile=None):
     wx, wy, wz = window
     n = chan.shape[1]
-    tile = _TILE_C
-    (chan,), n_pad = _pad_tile([chan], n)
+    tile = _TILE_C if tile is None else int(tile)
+    (chan,), n_pad = _pad_tile([chan], n, tile)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
     do1 = jnp.concatenate([dgm, dgmom], axis=1)
@@ -679,11 +685,11 @@ def _p2g_c_bwd_pallas(chan, meta, window, dgm, dgmom):
     return dchan[:, :n]
 
 
-def _g2p_c_pallas(pv, gv0, gv1, gv2, meta, window):
+def _g2p_c_pallas(pv, gv0, gv1, gv2, meta, window, tile=None):
     wx, wy, wz = window
     n = pv.shape[1]
-    tile = _TILE_C
-    (pv,), n_pad = _pad_tile([pv], n)
+    tile = _TILE_C if tile is None else int(tile)
+    (pv,), n_pad = _pad_tile([pv], n, tile)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
     gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
@@ -704,11 +710,11 @@ def _g2p_c_pallas(pv, gv0, gv1, gv2, meta, window):
     return out[:, :n]
 
 
-def _g2p_c_bwd_pallas(pv, gv0, gv1, gv2, meta, window, g):
+def _g2p_c_bwd_pallas(pv, gv0, gv1, gv2, meta, window, g, tile=None):
     wx, wy, wz = window
     n = pv.shape[1]
-    tile = _TILE_C
-    (pv, g), n_pad = _pad_tile([pv, g], n)
+    tile = _TILE_C if tile is None else int(tile)
+    (pv, g), n_pad = _pad_tile([pv, g], n, tile)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
     gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
@@ -718,7 +724,7 @@ def _g2p_c_bwd_pallas(pv, gv0, gv1, gv2, meta, window, g):
         grid=(n_pad // tile,),
         in_specs=[lane(8), grid_a(3 * wx), grid_b(3 * wx), lane(16)],
         out_specs=[lane(8), grid_a(3 * wx), grid_b(3 * wx)],
-        scratch_shapes=[slab] * 6,
+        scratch_shapes=[slab] * 3,
     )
     outs = pl.pallas_call(
         _g2p_c_bwd_kernel,
@@ -733,11 +739,11 @@ def _g2p_c_bwd_pallas(pv, gv0, gv1, gv2, meta, window, g):
     return (dpv, dgvp[:, :wx], dgvp[:, wx:2 * wx], dgvp[:, 2 * wx:])
 
 
-def _gather_c_pallas(pv, gv0, gv1, gv2, meta, window):
+def _gather_c_pallas(pv, gv0, gv1, gv2, meta, window, tile=None):
     wx, wy, wz = window
     n = pv.shape[1]
-    tile = _TILE_C
-    (pv,), n_pad = _pad_tile([pv], n)
+    tile = _TILE_C if tile is None else int(tile)
+    (pv,), n_pad = _pad_tile([pv], n, tile)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
     gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
@@ -758,12 +764,12 @@ def _gather_c_pallas(pv, gv0, gv1, gv2, meta, window):
     return out[0:3, :n]
 
 
-def _gather_c_bwd_pallas(pv, gv0, gv1, gv2, meta, window, dv):
+def _gather_c_bwd_pallas(pv, gv0, gv1, gv2, meta, window, dv, tile=None):
     wx, wy, wz = window
     n = pv.shape[1]
-    tile = _TILE_C
+    tile = _TILE_C if tile is None else int(tile)
     dv8 = jnp.concatenate([dv, jnp.zeros((5, n), dv.dtype)], axis=0)
-    (pv, dv8), n_pad = _pad_tile([pv, dv8], n)
+    (pv, dv8), n_pad = _pad_tile([pv, dv8], n, tile)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
     gvp = jnp.concatenate([gv0, gv1, gv2], axis=1)
@@ -788,11 +794,11 @@ def _gather_c_bwd_pallas(pv, gv0, gv1, gv2, meta, window, dv):
     return (dpv, dgvp[:, :wx], dgvp[:, wx:2 * wx], dgvp[:, 2 * wx:])
 
 
-def _splat_c_pallas(vals, meta, window):
+def _splat_c_pallas(vals, meta, window, tile=None):
     wx, wy, wz = window
     n = vals.shape[1]
-    tile = _TILE_C
-    (vals,), n_pad = _pad_tile([vals], n)
+    tile = _TILE_C if tile is None else int(tile)
+    (vals,), n_pad = _pad_tile([vals], n, tile)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
 
@@ -812,11 +818,11 @@ def _splat_c_pallas(vals, meta, window):
     return _combine_ab(oa, ob, meta, wy, wz)
 
 
-def _splat_c_bwd_pallas(vals, meta, window, dout):
+def _splat_c_bwd_pallas(vals, meta, window, dout, tile=None):
     wx, wy, wz = window
     n = vals.shape[1]
-    tile = _TILE_C
-    (vals,), n_pad = _pad_tile([vals], n)
+    tile = _TILE_C if tile is None else int(tile)
+    (vals,), n_pad = _pad_tile([vals], n, tile)
     lane, grid_a, grid_b = _specs(tile, wz, wx)
     slab = pltpu.VMEM((_WY * wz, tile), jnp.float32)
 
@@ -842,7 +848,7 @@ def _splat_c_bwd_pallas(vals, meta, window, dout):
 # delegate to the dense pallas_fused references.
 # ---------------------------------------------------------------------------
 
-def _ref_family(window):
+def _ref_family(window, tile=None):
     """XLA references: rebuild all six weight blocks from the position rows
     (x/z via _waxis — plain jnp, runs fine outside kernels; y via the
     truncation-aware _wy_xla) and delegate to the dense pallas_fused refs."""
@@ -851,7 +857,7 @@ def _ref_family(window):
     def weights(px, py, pz, meta, n):
         Wx, WxD = _waxis(px[None, :], meta[4, 0].astype(jnp.float32), wx)
         Wz, WDz = _waxis(pz[None, :], meta[5, 0].astype(jnp.float32), wz)
-        Wy, WDy = _wy_xla(py, meta, wy, n)
+        Wy, WDy = _wy_xla(py, meta, wy, n, tile)
         return Wx, WxD, Wy, WDy, Wz, WDz
 
     def p2g_ref(chan, meta):
@@ -890,18 +896,21 @@ import types as _types
 
 
 @_functools.lru_cache(maxsize=None)
-def family(window):
+def family(window, tile=None):
     """The four chunked transfer entries for a static window (wx, wy, wz).
     Same output avals as the pallas_fused entries so mpm.substep can pick
-    either family per window geometry. All B-spline weights are built
+    either family per window geometry. ``tile`` overrides the module-level
+    particle-tile width (envs resolve it per scene — mpm.auto_chunk_tile);
+    it keys the cache alongside the window. All B-spline weights are built
     INSIDE the kernels from the scaled position rows (chan 13-15 / pv 0-2 /
     vals 3-5): no (w, N) weight array exists in HBM, and the backward
     kernels map weight cotangents straight to position-row cotangents."""
     window = tuple(int(w) for w in window)
+    tile = _TILE_C if tile is None else int(tile)
 
     @jax.custom_vjp
     def p2g_c(chan, meta):
-        return _p2g_c_pallas(chan, meta, window)
+        return _p2g_c_pallas(chan, meta, window, tile)
 
     def _p2g_fwd(*args):
         return p2g_c(*args), args
@@ -909,53 +918,53 @@ def family(window):
     def _p2g_bwd(res, g):
         dgm, dgmom = g
         chan, meta = res
-        return (_p2g_c_bwd_pallas(chan, meta, window, dgm, dgmom),
+        return (_p2g_c_bwd_pallas(chan, meta, window, dgm, dgmom, tile),
                 _zero_meta(meta))
 
     p2g_c.defvjp(_p2g_fwd, _p2g_bwd)
 
     @jax.custom_vjp
     def g2p_c(pv, gv0, gv1, gv2, meta):
-        return _g2p_c_pallas(pv, gv0, gv1, gv2, meta, window)
+        return _g2p_c_pallas(pv, gv0, gv1, gv2, meta, window, tile)
 
     def _g2p_fwd(*args):
         return g2p_c(*args), args
 
     def _g2p_bwd(res, g):
         *ws, meta = res
-        return _g2p_c_bwd_pallas(*ws, meta, window, g) + (_zero_meta(meta),)
+        return _g2p_c_bwd_pallas(*ws, meta, window, g, tile) + (_zero_meta(meta),)
 
     g2p_c.defvjp(_g2p_fwd, _g2p_bwd)
 
     @jax.custom_vjp
     def gather_c(pv, gv0, gv1, gv2, meta):
-        return _gather_c_pallas(pv, gv0, gv1, gv2, meta, window)
+        return _gather_c_pallas(pv, gv0, gv1, gv2, meta, window, tile)
 
     def _gather_fwd(*args):
         return gather_c(*args), args
 
     def _gather_bwd(res, g):
         *ws, meta = res
-        return _gather_c_bwd_pallas(*ws, meta, window, g) \
+        return _gather_c_bwd_pallas(*ws, meta, window, g, tile) \
             + (_zero_meta(meta),)
 
     gather_c.defvjp(_gather_fwd, _gather_bwd)
 
     @jax.custom_vjp
     def splat_c(vals, meta):
-        return _splat_c_pallas(vals, meta, window)
+        return _splat_c_pallas(vals, meta, window, tile)
 
     def _splat_fwd(*args):
         return splat_c(*args), args
 
     def _splat_bwd(res, g):
         vals, meta = res
-        return (_splat_c_bwd_pallas(vals, meta, window, g),
+        return (_splat_c_bwd_pallas(vals, meta, window, g, tile),
                 _zero_meta(meta))
 
     splat_c.defvjp(_splat_fwd, _splat_bwd)
 
-    p2g_ref, g2p_ref, gather_ref, splat_ref = _ref_family(window)
+    p2g_ref, g2p_ref, gather_ref, splat_ref = _ref_family(window, tile)
     return _types.SimpleNamespace(
         p2g=p2g_c, g2p=g2p_c, gather=gather_c, splat=splat_c,
         p2g_ref=p2g_ref, g2p_ref=g2p_ref, gather_ref=gather_ref,

@@ -97,6 +97,45 @@ def _dot00(a, b):
     return _dot(a, b, (((0,), (0,))))
 
 
+# Backward-pass dot precision (VERDICT r3 #2). The backward is ~2/3 of the
+# kernels' MXU work; gradients tolerate lower precision than the forward
+# state (they are consumed by an optimizer, not integrated for thousands of
+# steps). SOFTMAC_TPU_BWD_DOT_PASSES selects the MXU-pass count for dots
+# inside BACKWARD kernels only:
+#   3 (default): same bf16x3 as the forward — bit-identical to today.
+#   2: a@b ~ ah@bh + al@bh  (full a mantissa, b truncated to bf16).
+#   1: plain bf16 single pass.
+# Read at TRACE time (module attribute, not import-time constant) so an
+# in-process A/B can flip it between env builds; gated by the coupled
+# oracle + FD-gradient + convergence gates before any production use.
+_BWD_PASSES = int(os.environ.get("SOFTMAC_TPU_BWD_DOT_PASSES", "3"))
+
+
+def _dot_bwd(a, b, dims):
+    passes = _BWD_PASSES
+    if passes >= 3 or _PRECISION_MODE != "high":
+        return _dot(a, b, dims)
+    p = lax.Precision.DEFAULT
+    ah = a.astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    if passes <= 1:
+        return _dg(ah, bh, dims, p)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _dg(ah, bh, dims, p) + _dg(al, bh, dims, p)
+
+
+def _dot_t_bwd(a, b):
+    return _dot_bwd(a, b, (((1,), (1,))))
+
+
+def _dot_rows_bwd(a, b):
+    return _dot_bwd(a, b, (((1,), (0,))))
+
+
+def _dot00_bwd(a, b):
+    return _dot_bwd(a, b, (((0,), (0,))))
+
+
 # XLA-side dots for the reference implementations (the platform_dependent
 # CPU branch and the test baseline): plain dot_general at the production
 # precision — XLA accepts HIGH everywhere, and on CPU it is exact f32.
@@ -318,7 +357,7 @@ def _p2g_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
     # dHDz = dmom @ R_Dz (HDz = Wy (x) WDz)
     r_all = jnp.concatenate([r_h_block(-1)] + [r_h_block(d) for d in range(3)],
                             axis=0)               # (4*wx, T)
-    t_ref[:] = _dot_rows(do1, r_all)              # dH
+    t_ref[:] = _dot_rows_bwd(do1, r_all)              # dH
     dwz = jnp.zeros_like(Wz)
     for y in range(n_y):
         blk = t_ref[y * n_z:(y + 1) * n_z, :]
@@ -327,7 +366,7 @@ def _p2g_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
 
     r_dy = jnp.concatenate(
         [Wx * chan[5 + 3 * d:6 + 3 * d, :] for d in range(3)], axis=0)
-    t_ref[:] = _dot_rows(dmom, r_dy)              # dHDy
+    t_ref[:] = _dot_rows_bwd(dmom, r_dy)              # dHDy
     for y in range(n_y):
         blk = t_ref[y * n_z:(y + 1) * n_z, :]
         dwdy_ref[y:y + 1, :] = jnp.sum(Wz * blk, 0, keepdims=True)
@@ -336,7 +375,7 @@ def _p2g_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
 
     r_dz = jnp.concatenate(
         [Wx * chan[6 + 3 * d:7 + 3 * d, :] for d in range(3)], axis=0)
-    t_ref[:] = _dot_rows(dmom, r_dz)              # dHDz
+    t_ref[:] = _dot_rows_bwd(dmom, r_dz)              # dHDz
     dwdz = jnp.zeros_like(WDz)
     for y in range(n_y):
         blk = t_ref[y * n_z:(y + 1) * n_z, :]
@@ -347,7 +386,7 @@ def _p2g_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
     # ---- dR-path: dR = H^T-contract do -> dWx/dWxD/dchan ----
     for y in range(n_y):
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * Wz
-    dr_h = _dot00(do1, h_ref[:])                  # (4*wx, T)
+    dr_h = _dot00_bwd(do1, h_ref[:])                  # (4*wx, T)
     dwx = chan[0:1, :] * dr_h[0:wx, :]
     dwxd = jnp.zeros_like(WxD)
     for d in range(3):
@@ -361,7 +400,7 @@ def _p2g_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
 
     for y in range(n_y):
         h_ref[y * n_z:(y + 1) * n_z, :] = WDy[y:y + 1, :] * Wz
-    dr_dy = _dot00(dmom, h_ref[:])                # (3*wx, T)
+    dr_dy = _dot00_bwd(dmom, h_ref[:])                # (3*wx, T)
     for d in range(3):
         blk = dr_dy[d * wx:(d + 1) * wx, :]
         dwx = dwx + chan[5 + 3 * d:6 + 3 * d, :] * blk
@@ -370,7 +409,7 @@ def _p2g_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
 
     for y in range(n_y):
         h_ref[y * n_z:(y + 1) * n_z, :] = Wy[y:y + 1, :] * WDz
-    dr_dz = _dot00(dmom, h_ref[:])
+    dr_dz = _dot00_bwd(dmom, h_ref[:])
     for d in range(3):
         blk = dr_dz[d * wx:(d + 1) * wx, :]
         dwx = dwx + chan[6 + 3 * d:7 + 3 * d, :] * blk
@@ -416,9 +455,9 @@ def _g2p_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
     # the packed grid), and their contractions against Wx/WxD become
     # dot_t(H-variant, small rhs) with the three channels' rhs stacked.
     gvp = gvp_ref[:]
-    M_all = _dot00(gvp, H)                        # (3*wx, T)
-    MDy_all = _dot00(gvp, HDy)
-    MDz_all = _dot00(gvp, HDz)
+    M_all = _dot00_bwd(gvp, H)                        # (3*wx, T)
+    MDy_all = _dot00_bwd(gvp, HDy)
+    MDz_all = _dot00_bwd(gvp, HDz)
     dwx = jnp.zeros_like(Wx)
     dwxd = jnp.zeros_like(WxD)
     r_h = []
@@ -441,11 +480,11 @@ def _g2p_bwd_kernel(wx_ref, wxd_ref, wy_ref, wdy_ref, wz_ref, wdz_ref,
     rh = jnp.concatenate(r_h, axis=0)             # (3*wx, T)
     rdy = jnp.concatenate(r_dy, axis=0)
     rdz = jnp.concatenate(r_dz, axis=0)
-    dgvp_ref[:] += _dot_t(H, rh) + _dot_t(HDy, rdy) + _dot_t(HDz, rdz)
+    dgvp_ref[:] += _dot_t_bwd(H, rh) + _dot_t_bwd(HDy, rdy) + _dot_t_bwd(HDz, rdz)
 
-    dh_ref[:] = _dot_rows(gvp, rh)                # 120-wide, replaces the
-    dhdy_ref[:] = _dot_rows(gvp, rdy)             # per-channel A/B slabs
-    dhdz_ref[:] = _dot_rows(gvp, rdz)
+    dh_ref[:] = _dot_rows_bwd(gvp, rh)                # 120-wide, replaces the
+    dhdy_ref[:] = _dot_rows_bwd(gvp, rdy)             # per-channel A/B slabs
+    dhdz_ref[:] = _dot_rows_bwd(gvp, rdz)
 
     dwz = jnp.zeros_like(Wz)
     dwdz = jnp.zeros_like(WDz)
@@ -510,13 +549,13 @@ def _splat_bwd_kernel(wx_ref, wy_ref, wz_ref, vals_ref, doutp_ref,
     doutp = doutp_ref[:]
     dwx = jnp.zeros_like(Wx)
     rv = []
-    N_all = _dot00(doutp, H)                      # (3*wx, T), 120-wide dot
+    N_all = _dot00_bwd(doutp, H)                      # (3*wx, T), 120-wide dot
     for d in range(3):
         N = N_all[wx * d:wx * (d + 1)]
         dvals_ref[d:d + 1, :] = jnp.sum(Wx * N, 0, keepdims=True)
         dwx = dwx + vals[d:d + 1, :] * N
         rv.append(Wx * vals[d:d + 1, :])
-    dh_ref[:] = _dot_rows(doutp, jnp.concatenate(rv, axis=0))
+    dh_ref[:] = _dot_rows_bwd(doutp, jnp.concatenate(rv, axis=0))
     dwx_ref[:] = dwx
     dvals_ref[3:8, :] = jnp.zeros_like(dvals_ref[3:8, :])
 
@@ -549,7 +588,7 @@ def _gather_bwd_kernel(wx_ref, wy_ref, wz_ref, gvp_ref, dv_ref,
     H = h_ref[:]
 
     gvp = gvp_ref[:]
-    M_all = _dot00(gvp, H)                        # (3*wx, T)
+    M_all = _dot00_bwd(gvp, H)                        # (3*wx, T)
     dwx = jnp.zeros_like(Wx)
     r_all = []
     for d in range(3):
@@ -557,8 +596,8 @@ def _gather_bwd_kernel(wx_ref, wy_ref, wz_ref, gvp_ref, dv_ref,
         r_all.append(Wx * dvd)                    # dA_d = H*dv_d, folded
         dwx = dwx + dvd * M_all[d * wx:(d + 1) * wx]
     rcat = jnp.concatenate(r_all, axis=0)         # (3*wx, T)
-    dgvp_ref[:] += _dot_t(H, rcat)
-    dh_ref[:] = _dot_rows(gvp, rcat)              # 120-wide dH slab
+    dgvp_ref[:] += _dot_t_bwd(H, rcat)
+    dh_ref[:] = _dot_rows_bwd(gvp, rcat)              # 120-wide dH slab
     dwx_ref[:] = dwx
 
     dwz = jnp.zeros_like(Wz)

@@ -143,6 +143,67 @@ def test_scene_config_parsing():
     np.testing.assert_allclose(v2, [[3.0, 1.0, 1.0]])
 
 
+def test_scene_config_convergence_keys():
+    """DiffCloth's forwardConvergenceThresh (demo_taco_config.py:67) maps
+    to the PD solve's masked early-stop tolerance; solverIterations (our
+    key) overrides the iteration count."""
+    scene = {
+        "fabric:k_stiff_stretching": "5000",
+        "fabric:k_stiff_bending": "1.5",
+        "fabric:density": "1.0",
+        "timeStep": "2e-3",
+        "customAttachmentVertexIdx": "1",
+        "forwardConvergenceThresh": "1e-8",
+        "solverIterations": "35",
+    }
+    p = parse_scene_config(scene)
+    assert p["convergence_tol"] == 1e-8
+    assert p["n_iterations"] == 35
+
+
+def test_cloth_convergence_tol_early_stop_matches_fixed():
+    """With a reachable tolerance the masked early-stop freezes the PD
+    iterates at the converged point: the result must agree with the plain
+    fixed-count solve to within the tolerance, and the measured residual
+    must actually be below it."""
+    verts, faces = generate_grid(nx=6, nz=6, width=0.5, height=0.5)
+    kw = dict(k_stretch=500.0, k_bend=0.05, density=0.2, dt=2e-3,
+              attachment_idx=[0, 11], gravity=-9.8, dtype=jnp.float64,
+              n_iterations=40)
+    fixed = ClothModel(verts, faces, **kw)
+    tol = ClothModel(verts, faces, convergence_tol=1e-10, **kw)
+    s = fixed.init_state()
+    z = jnp.zeros((fixed.n_vertices, 3), jnp.float64)
+    a = fixed.step(s, None, z)
+    b = tol.step(s, None, z)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x), atol=1e-9)
+    assert float(tol.pd_residual(s)) < 1e-10
+
+
+def test_taco_hit_pd_residual_vs_reference_threshold():
+    """Convergence-parity measurement (VERDICT r3 #7): the reference's
+    DiffCloth iterates its forward solve to forwardConvergenceThresh=1e-8
+    (demo_taco_config.py:67); our PD solve runs a bounded iteration count.
+    Measure the actual fixed-point residual after the configured
+    iterations on both cloth scenes from their init states (numbers
+    recorded in PARITY.md) and pin an upper bound so regressions surface."""
+    from softmac_tpu import SoftMacEnv, load
+
+    for name in ("demo_taco_config.py", "demo_hit_config.py"):
+        cfg = load(f"softmac_tpu/config/{name}")
+        env = SoftMacEnv(cfg, loss=False)
+        model = env.cloth_model
+        # sceneConfig's forwardConvergenceThresh flowed into the model
+        assert model.convergence_tol == 1e-8
+        s = model.init_state()
+        res = float(model.pd_residual(s))
+        # f64 under pytest's CPU config; the residual after 20 iterations
+        # from the rest state is the solver's practical convergence level
+        print(f"{name}: PD residual after {model.n_iterations} iterations "
+              f"= {res:.3e} (reference threshold 1e-8)")
+        assert res < 1e-4, (name, res)
+
+
 def test_cloth_env_state_io_and_penetration_counter():
     """Cloth envs pack [x v F C contact_id penetration] -> (N, 26)
     (soft_cloth/engine/mpm_simulator.py:604-615) and expose the

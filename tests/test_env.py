@@ -211,6 +211,154 @@ def test_remat_window_multisubstep_env():
                                rtol=1e-9, atol=1e-12)
 
 
+def test_auto_chunk_tile_resolution(monkeypatch):
+    """VERDICT r3 #5: the chunked-kernel tile is picked per scene (no
+    hand-carried env vars): auto rule (>=20k particles -> 2048, below ->
+    the demo-validated 1536), cfg.TPU.tile_c overrides auto, env
+    SOFTMAC_TPU_TILE_C overrides everything."""
+    from softmac_tpu import SoftMacEnv, load
+    from softmac_tpu.engine.mpm import auto_chunk_tile
+
+    assert auto_chunk_tile(100_000) == 2048
+    assert auto_chunk_tile(5_000) == 1536
+
+    cfg = load(str(ROOT / "softmac_tpu/config/demo_pour_vel_config.py"))
+    cfg.defrost(); cfg.TPU.active_window = (48, 32, 16); cfg.freeze()
+    monkeypatch.delenv("SOFTMAC_TPU_TILE_C", raising=False)
+    env = SoftMacEnv(cfg, loss=False)
+    assert env.mpm_cfg.chunk_tile == 1536          # 5000 particles -> auto
+
+    cfg2 = cfg.clone()
+    cfg2.defrost(); cfg2.TPU.tile_c = 1024; cfg2.freeze()
+    env2 = SoftMacEnv(cfg2, loss=False)
+    assert env2.mpm_cfg.chunk_tile == 1024         # explicit config wins
+
+    monkeypatch.setenv("SOFTMAC_TPU_TILE_C", "512")
+    env3 = SoftMacEnv(cfg2, loss=False)
+    assert env3.mpm_cfg.chunk_tile == 512          # env var wins over all
+
+
+def _small_grip_env():
+    from softmac_tpu import SoftMacEnv, load
+    cfg = load(str(ROOT / "softmac_tpu/config/demo_grip_config.py"))
+    base = np.load(ROOT / "envs/grip/grip_mpm_init_state.npy")
+    rng = np.random.RandomState(5)
+    pick = rng.choice(base.shape[0], 200, replace=False)
+    return SoftMacEnv(cfg, init_particles=base[pick, :3])
+
+
+def test_arbitrary_loss_stride_matches_stepwise():
+    """ANY ``range(start, T+1, stride)`` loss sampling must work — the
+    reference samples its store-all tape at arbitrary frames
+    (demo_pour.py:172-173). stride=7 on the grip env (substeps=5) cannot
+    land on block boundaries, so the rollout takes the general per-substep
+    weighted path (_sample_mask sub_weights); the oracle here replays the
+    same physics stepwise in eager mode and evaluates the loss exactly at
+    frames {0, 7, 14, 20}."""
+    from softmac_tpu.engine import mpm as mpm_mod
+    from softmac_tpu.engine.losses import FrameSample
+    from softmac_tpu.engine.rigid import grad_scale
+
+    env = _small_grip_env()
+    n_steps, substeps = 4, env.substeps
+    assert substeps == 5
+    actions = np.zeros((n_steps, env.action_dim))
+    actions[:, 0] = 0.3
+    actions[:, 1] = -0.3
+
+    # the general path must engage for stride 7
+    block, n_blocks, _, include_f0, sub_w = env._sample_mask(n_steps, 0, 7)
+    assert sub_w is not None and block == 1 and include_f0
+
+    out = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=7)
+
+    # --- stepwise oracle: same physics functions, independent (eager,
+    # python-loop) orchestration + frame-exact loss sampling -------------
+    wanted = set(range(0, n_steps * substeps + 1, 7))
+    cfg, params, prims = env.mpm_cfg, env.mpm_params, env.prims
+    mpm, bodies, rigid = env._initial_carry()
+    expect = {}
+
+    def add_terms(sample):
+        for k, v in env.loss.terms(sample).items():
+            expect[k] = expect.get(k, 0.0) + float(v)
+
+    add_terms(FrameSample(x=mpm.x_nd, bodies=bodies))        # frame 0
+    for t in range(n_steps):
+        bodies_c = grad_scale(bodies, env.ext_grad_scale)
+        extfs = []
+        for k in range(substeps):
+            mpm, extf, _ = mpm_mod.substep(
+                cfg, params, prims, mpm, bodies_c, k, None)
+            extfs.append(extf)
+            if (t * substeps + k + 1) in wanted and k < substeps - 1:
+                # mid-window frame: the window's forecast body state
+                add_terms(FrameSample(x=mpm.x_nd, bodies=bodies_c))
+        ext_f = sum(extfs) / substeps
+        rigid = env.rigid_model.step(
+            rigid, jnp.asarray(actions[t], env.dtype), ext_f, prims=prims)
+        bodies = env.rigid_model.body_states(rigid)
+        if (t + 1) * substeps in wanted:
+            # window-boundary frame: the post-step body state
+            add_terms(FrameSample(x=mpm.x_nd, bodies=bodies))
+
+    for k, v in expect.items():
+        np.testing.assert_allclose(float(out["terms"][k]), v, rtol=1e-9,
+                                   err_msg=k)
+    np.testing.assert_allclose(float(out["loss"]), sum(expect.values()),
+                               rtol=1e-9)
+    # (this short grip horizon never reaches contact, so the action
+    # gradient is legitimately zero — just require finiteness here; nonzero
+    # gradient flow through the general path is covered by
+    # test_general_stride_matches_fast_path)
+    assert np.isfinite(np.asarray(out["action_grad"])).all()
+
+
+def test_general_stride_matches_fast_path(pour_vel_env):
+    """Where a stride IS expressible at block boundaries, the general
+    per-substep path must produce the identical loss and gradient — run
+    stride 3 on the 1-substep pour_vel env twice: naturally (block=3,
+    boundary-mask fast path) and with the general path forced."""
+    env = pour_vel_env
+    actions = np.zeros((6, 12))
+    actions[:, 2] = 1.5
+    ref = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=3)
+
+    orig = env._sample_mask
+
+    def forced(n_steps, start, stride):
+        block, n_blocks, mask, inc_f0, sub_w = orig(n_steps, start, stride)
+        if sub_w is None:
+            total = n_steps * env.substeps
+            s0 = 0 if start is None else int(start)
+            wanted = set(range(s0, total + 1, int(stride)))
+            sub_w = np.zeros((n_steps, env.substeps))
+            bmask = np.zeros((n_steps,))
+            for f in sorted(wanted - {0}):
+                t, k = divmod(f - 1, env.substeps)
+                if k == env.substeps - 1:
+                    bmask[t] = 1.0        # boundary frames: post-step sample
+                else:
+                    sub_w[t, k] = 1.0
+            return 1, n_steps, bmask, inc_f0, sub_w
+        return block, n_blocks, mask, inc_f0, sub_w
+
+    env._sample_mask = forced
+    env._jit_cache.clear()
+    try:
+        gen = env.rollout_and_grad(actions, loss_start_frame=0,
+                                   loss_stride=3)
+    finally:
+        env._sample_mask = orig
+        env._jit_cache.clear()
+
+    np.testing.assert_allclose(float(gen["loss"]), float(ref["loss"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gen["action_grad"]),
+                               np.asarray(ref["action_grad"]),
+                               rtol=1e-8, atol=1e-12)
+
+
 def test_bptt_window_rollout(pour_vel_env):
     """Truncated-BPTT rollout: same forward values, finite gradients."""
     env = pour_vel_env
