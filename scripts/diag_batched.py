@@ -57,21 +57,26 @@ def main():
     rng = np.random.RandomState(1)
     work1 = steps * env.substeps
 
-    # unbatched single rollout
+    # remat="none" everywhere: the store-all tape is the cheap-to-compile,
+    # fastest program at this 50-step horizon (scripts/diag_remat.py) and
+    # keeps the three variants directly comparable
     a1 = np.zeros((steps, env.action_dim))
     fn_un = lambda: env.rollout_and_grad(a1, loss_start_frame=0,
-                                         loss_stride=steps)["loss"]
+                                         loss_stride=steps,
+                                         remat="none")["loss"]
     t_un = timed(fn_un, fn_un())
-    print(f"B=1 unbatched : {work1 / t_un:8.1f} substeps/s per env")
+    print(f"B=1 unbatched : {work1 / t_un:8.1f} substeps/s per env",
+          flush=True)
 
     for B in (1, 8):
         acts = rng.randn(B, steps, env.action_dim) * 1e-3
         fn = lambda: env.batched_rollout_and_grad(
-            acts, loss_start_frame=0, loss_stride=steps)["loss"]
+            acts, loss_start_frame=0, loss_stride=steps,
+            remat="none")["loss"]
         t = timed(fn, fn())
         agg = B * work1 / t
         print(f"B={B} batched   : {agg / B:8.1f} substeps/s per env, "
-              f"{agg:8.1f} aggregate")
+              f"{agg:8.1f} aggregate", flush=True)
 
 
 if __name__ == "__main__":
