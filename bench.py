@@ -218,7 +218,8 @@ def batched_bench():
     rate = B * steps * env.substeps / min(times)
     assert np.isfinite(np.asarray(out["loss"])).all()
     assert not bool(np.any(np.asarray(out["terms"]["window_overflow"]))), \
-        "batched scene overflowed (check SOFTMAC_TPU_TILE_C vs blob span)"
+        "batched scene overflowed (tile/window vs blob span; see " \
+        "mpm.auto_chunk_tile)"
     return {"B": B, "n_particles": env.n_particles,
             "substeps_per_s": round(rate, 1)}
 

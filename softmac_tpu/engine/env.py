@@ -151,6 +151,23 @@ class SoftMacEnv:
         active_window = None
         if "TPU" in cfg and cfg.TPU.get("active_window"):
             active_window = tuple(cfg.TPU.active_window)
+        # construction-time window sanity: the window tracks the particle
+        # centroid per substep, so it must at least cover the INITIAL
+        # blob's stencil extent (travel beyond that is what the runtime
+        # window_overflow flag watches). Failing this means the FIRST
+        # substep already drops particle mass silently.
+        if active_window is not None:
+            cells = np.floor(self.init_particles
+                             * (128 * quality / self.mpm_scale) - 0.5)
+            ext = cells.max(0) - cells.min(0) + 3   # stencil rows base..+2
+            for d, w in enumerate(active_window):
+                if ext[d] > w:
+                    import warnings
+                    warnings.warn(
+                        f"TPU.active_window[{d}]={w} cannot cover the "
+                        f"initial particle extent ({int(ext[d])} stencil "
+                        "rows): mass will be dropped from the transfers "
+                        "on the FIRST substep. Enlarge the window.")
         # chunked-kernel tile (VERDICT r3 #5): env var (sweep tooling) >
         # explicit cfg.TPU.tile_c > per-scene auto rule
         import os as _os

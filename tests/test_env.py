@@ -238,6 +238,28 @@ def test_auto_chunk_tile_resolution(monkeypatch):
     assert env3.mpm_cfg.chunk_tile == 512          # env var wins over all
 
 
+def test_window_init_extent_warning():
+    """A window too small for even the initial blob warns at construction
+    (the runtime overflow flag only fires after mass is already lost)."""
+    import warnings
+
+    from softmac_tpu import SoftMacEnv, load
+    cfg = load(str(ROOT / "softmac_tpu/config/demo_pour_vel_config.py"))
+    cfg.defrost(); cfg.TPU.active_window = (8, 8, 8); cfg.freeze()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        SoftMacEnv(cfg, loss=False)
+    assert any("cannot cover the initial particle extent" in str(w.message)
+               for w in rec)
+
+    # the real config's window must NOT warn
+    cfg2 = load(str(ROOT / "softmac_tpu/config/demo_pour_vel_config.py"))
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        SoftMacEnv(cfg2, loss=False)
+    assert not any("cannot cover" in str(w.message) for w in rec2)
+
+
 def _small_grip_env():
     from softmac_tpu import SoftMacEnv, load
     cfg = load(str(ROOT / "softmac_tpu/config/demo_grip_config.py"))
