@@ -190,6 +190,82 @@ def coupled_oracle_check():
                 "err_rigid_q": err_q, "err_rigid_qd": err_qd}
 
 
+def cloth_oracle_check():
+    """Cloth-family hardware gate: the engine's cloth-coupled substep
+    (sticky forecast contact + penetration tracing) through the PRODUCTION
+    sorted-carry chunked kernels on the attached accelerator, vs the
+    independent NumPy f64 cloth oracle (tests/oracle.py; CPU twin:
+    tests/test_oracle_cloth.py). Compares particle state, contact ids,
+    penetration bits, and accumulated vertex contact forces."""
+    import jax
+    from test_oracle_cloth import (
+        build_cloth_scene, run_engine_cloth_substeps,
+        run_oracle_cloth_substeps)
+
+    (cfg, params, cparams, state0, cloth_x, cloth_v, faces, nb, nd,
+     x0) = build_cloth_scene(n=512, dtype=np.float32, window=(24, 32, 16))
+    mu = float(params.mu[0]); lam = float(params.lam[0])
+
+    s, pen_s, ext = run_engine_cloth_substeps(
+        cfg, params, cparams, state0, cloth_x, cloth_v, n_sub=10,
+        sorted_carry=True)
+    ox, ov, ocid, open_, oext = run_oracle_cloth_substeps(
+        cfg, x0, cloth_x, cloth_v, faces, nb, nd, mu, lam, n_sub=10)
+
+    err_x = float(np.abs(np.asarray(s.x, np.float64).T - ox).max())
+    err_v = float(np.abs(np.asarray(s.v, np.float64).T - ov).max())
+    n_cid_mismatch = int((np.asarray(pen_s.contact_id) != ocid).sum())
+    n_pen_mismatch = int((np.asarray(pen_s.penetration) != open_).sum())
+    err_ext = float(np.abs(np.asarray(ext, np.float64) - oext).max())
+    # f32 + bf16x3 transfer class vs f64 oracle; contact ids come from a
+    # distance argmin so allow a few borderline flips out of 512
+    ok = bool(err_x < 1e-4 and err_v < 2e-3 and err_ext < 2e-3
+              and n_cid_mismatch <= 5 and n_pen_mismatch <= 5)
+    return ok, {"err_x_cloth": err_x, "err_v_cloth": err_v,
+                "err_ext_cloth": err_ext,
+                "cloth_cid_mismatch": n_cid_mismatch,
+                "cloth_pen_mismatch": n_pen_mismatch}
+
+
+def build_taco_bench_env():
+    """The cloth-family headline scene: the FLAGSHIP demo_taco config at its
+    native 1e4 particles (plasticine cylinder + attachment-controlled
+    tortilla cloth, sticky mixed contact, mpm_scale 5, 10 substeps/step —
+    reference soft_cloth/config/demo_taco_config.py:14-28 with the substep
+    semantics of soft_cloth/engine/mpm_simulator.py:418-428)."""
+    from softmac_tpu import SoftMacEnv, load
+    root = Path(__file__).resolve().parent
+    cfg = load(str(root / "softmac_tpu/config/demo_taco_config.py"))
+    env = SoftMacEnv(cfg)
+    env.reset()
+    return env
+
+
+def _measure_cloth_env(env, steps=30, repeats=8):
+    """Cloth twin of _measure_env: fwd+bwd substeps/s on the jitted
+    remat='none' taco rollout (MPM substeps + contact-pair/penetration
+    interleave + PD cloth solve per env step)."""
+    import jax
+    actions = np.zeros((steps, env.action_dim))
+    out = env.rollout_and_grad(actions, loss_start_frame=0,
+                               loss_stride=steps * env.substeps,
+                               remat="none")
+    jax.block_until_ready(out["loss"])  # compile + warmup
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        out = env.rollout_and_grad(actions, loss_start_frame=0,
+                                   loss_stride=steps * env.substeps,
+                                   remat="none")
+        jax.block_until_ready(out["loss"])
+        times.append(time.time() - t0)
+    work = steps * env.substeps
+    assert np.isfinite(float(out["loss"])), "cloth benchmark rollout diverged"
+    assert not bool(out["terms"].get("window_overflow", False)), \
+        "cloth active window overflowed"
+    return work / min(times), work / float(np.median(times))
+
+
 def batched_bench():
     """Batched multi-trajectory throughput (SURVEY 2.4 'batched rollouts
     map to vmap + DP'): B=8 independent pour_vel trajectories (5000
@@ -354,9 +430,17 @@ def roofline(n_particles, window, rate_fwd_bwd, tile_c=None):
         "achieved_hbm_gbps": round(achieved_gbps, 1),
         "mfu": round(achieved_tflops / PEAK_BF16_TFLOPS, 3),
         "hbm_util": round(achieved_gbps / PEAK_HBM_GBPS, 3),
-        "bound": "compute (MXU)" if (achieved_tflops / PEAK_BF16_TFLOPS
-                                     > achieved_gbps / PEAK_HBM_GBPS)
-                 else "bandwidth (HBM)",
+        # bound attribution is MEASURED, not inferred from the two ratios
+        # above: cutting the backward dots from 3 bf16 MXU passes to 1
+        # (i.e. removing 2/3 of all backward MXU work) moved end-to-end
+        # throughput only 1.016x, and halving wx's lane tiles saved 3.3%
+        # (BASELINE round-4 narrative) — the kernels sit on VPU slab/weight
+        # work and per-tile fixed costs, with MXU at ~21% and HBM at ~3%
+        # of peak both far from binding.
+        "bound": "vpu + per-tile overhead (measured; MXU/HBM ratios above "
+                 "are utilization, not the binding resource)",
+        "mxu_hbm_ratio_note": "analytic dense-equivalent accounting of the "
+                              "chunked kernels' executed ops",
     }
 
 
@@ -399,7 +483,29 @@ def main():
         pour_vel_rate = f"error: {type(e).__name__}: {e}"[:200]
         pour_vel_median = None
 
+    # cloth-family headline (VERDICT r4 #1): taco physics at native 1e4
+    # particles — sticky cloth contact + penetration tracing + PD cloth
+    try:
+        cl_env = build_taco_bench_env()
+        cl_best, cl_median = _measure_cloth_env(cl_env)
+        cloth_rate = round(cl_best, 2)
+        cloth_median = round(cl_median, 2)
+        cloth_n = cl_env.n_particles
+        cloth_tile = int(cl_env.mpm_cfg.chunk_tile)
+        del cl_env
+    except Exception as e:
+        cloth_rate = f"error: {type(e).__name__}: {e}"[:200]
+        cloth_median = None
+        cloth_n = cloth_tile = None
+
     oracle_ok, oracle_info = tpu_oracle_check()
+    try:
+        cloth_ok, cloth_info = cloth_oracle_check()
+        oracle_ok = oracle_ok and cloth_ok
+        oracle_info.update(cloth_info)
+    except Exception as e:
+        oracle_ok = False
+        oracle_info["cloth_gate_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         batched = batched_bench()
     except Exception as e:
@@ -420,6 +526,12 @@ def main():
         "vs_measured_torch_cpu": round(rate / MEASURED_TORCH_CPU_FWDBWD, 1),
         "pour_vel_secondary": pour_vel_rate,
         "pour_vel_secondary_median": pour_vel_median,
+        # cloth family (demo_taco physics, native 1e4 particles, sticky
+        # cloth contact + PD solve): fwd+bwd substeps/s
+        "cloth_taco_substeps_per_s": cloth_rate,
+        "cloth_taco_substeps_per_s_median": cloth_median,
+        "cloth_taco_n_particles": cloth_n,
+        "cloth_taco_tile_c": cloth_tile,
         "tpu_oracle_ok": oracle_ok,
         "tpu_oracle_err": oracle_info,
         "batched": batched,

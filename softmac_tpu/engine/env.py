@@ -399,12 +399,18 @@ class SoftMacEnv:
 
     def use_sorted_carry(self) -> bool:
         """Whether rollouts ride the sorted-carry path (TPU chunked
-        kernels). Cloth carries are excluded: the sorted branch permutes
-        only MPMState and would leave the per-particle penetration
-        side-state unpermuted. Single source of truth for this predicate
-        (also used by parallel/sharding.py)."""
-        return (not self.has_cloth) and mpm_mod.sorted_transfers_wanted(
-            self.mpm_cfg, self.dtype)
+        kernels). Both families: cloth carries permute the per-particle
+        penetration side-state (contact_id/penetration — one gather each)
+        together with MPMState (_resort/_sort_out in _build_rollout).
+        Single source of truth for this predicate (also used by
+        parallel/sharding.py)."""
+        return mpm_mod.sorted_transfers_wanted(self.mpm_cfg, self.dtype)
+
+    @staticmethod
+    def _permute_pen(pen, q):
+        """Apply a particle permutation to the penetration side-state."""
+        return pen.replace(contact_id=pen.contact_id[q],
+                           penetration=pen.penetration[q])
 
     def _substep_loss_terms(self, mpm_s, weight, bodies=None, cloth=None,
                             unsort_perm=None):
@@ -446,7 +452,9 @@ class SoftMacEnv:
         if self.has_cloth:
             return self._env_step_cloth(carry, action, params=params,
                                         cloth_params=cloth_params,
-                                        loss_weights=loss_weights)
+                                        loss_weights=loss_weights,
+                                        assume_sorted=assume_sorted,
+                                        unsort_perm=unsort_perm)
         mpm, bodies, rigid = carry
         cfg = self.mpm_cfg
 
@@ -500,7 +508,8 @@ class SoftMacEnv:
         return (mpm, bodies, rigid), (overflow, ext_f)
 
     def _env_step_cloth(self, carry, action, params=None, cloth_params=None,
-                        loss_weights=None):
+                        loss_weights=None, assume_sorted=False,
+                        unsort_perm=None):
         """One coupled MPM+cloth window (soft_cloth taichi_env.py:74-96):
         N substeps with contact-pair/penetration updates against the forecast
         cloth state, then one cloth PD step consuming the averaged vertex
@@ -536,7 +545,8 @@ class SoftMacEnv:
             mpm_s, extv, aux = mpm_mod.substep_cloth(
                 cfg, params, cparams, mpm_s,
                 cloth_xf, cloth_vf, pen_s, k, mpm_action,
-                axis_name=self.particle_axis_name)
+                axis_name=self.particle_axis_name,
+                assume_sorted=assume_sorted)
             x_new = (mpm_s.x[0], mpm_s.x[1], mpm_s.x[2])
             cid = get_contact_pair(cparams, cloth_xf, x_new,
                                    pen_s.penetration)
@@ -546,7 +556,8 @@ class SoftMacEnv:
             outs = (extv, aux["window_overflow"])
             if loss_weights is not None:
                 outs = outs + (self._substep_loss_terms(
-                    mpm_s, kw[1], cloth=(cloth_xf, cloth_vf)),)
+                    mpm_s, kw[1], cloth=(cloth_xf, cloth_vf),
+                    unsort_perm=unsort_perm),)
             return (mpm_s, pen_s), outs
 
         xs = jnp.arange(cfg.substeps) if loss_weights is None else (
@@ -851,7 +862,8 @@ class SoftMacEnv:
                       if use_general else {})
                 core, out = self._env_step_fn(
                     core, a[0] if use_general else a, params=params_s,
-                    assume_sorted=True, prims=prims, **kw)
+                    assume_sorted=True, prims=prims, cloth_params=cparams,
+                    **kw)
                 return (core, params_s, perm), out
             env_step = wrap(env_step_s)
         else:
@@ -864,11 +876,19 @@ class SoftMacEnv:
 
         def _resort(carry):
             core, params_s, perm = carry
-            mpm, bodies, rigid = core
+            mpm = core[0]
             q, _ = mpm_mod.sort_perm(
                 self.mpm_cfg, (mpm.x[0], mpm.x[1], mpm.x[2]))
-            return ((mpm_mod.permute_state(mpm, q), bodies, rigid),
-                    mpm_mod.permute_params(params_s, q), perm[q])
+            mpm_q = mpm_mod.permute_state(mpm, q)
+            if self.has_cloth:
+                # cloth core = (mpm, cloth, pen): the per-particle
+                # penetration side-state rides the same permutation;
+                # cloth vertex state is particle-order-independent
+                _, cloth, pen = core
+                core_q = (mpm_q, cloth, self._permute_pen(pen, q))
+            else:
+                core_q = (mpm_q,) + tuple(core[1:])
+            return (core_q, mpm_mod.permute_params(params_s, q), perm[q])
 
         # "window:K" scanning: group the block's steps into windows of k
         # (largest divisor of the loss block <= K so shapes stay static),
@@ -921,8 +941,13 @@ class SoftMacEnv:
                                          outs[2])
             n_pen = jnp.zeros((), jnp.int32)
             if self.has_cloth:
-                mpm, cloth, pen = carry
-                sample = FrameSample(x=mpm.x_nd, bodies=None,
+                mpm, cloth, pen = carry[0] if use_sort else carry
+                x_nd = mpm.x_nd
+                if use_sort:
+                    # restore original particle row order for the sample
+                    # (losses may index particles), same idiom as below
+                    x_nd = jnp.zeros_like(x_nd).at[carry[2]].set(x_nd)
+                sample = FrameSample(x=x_nd, bodies=None,
                                      cloth_x=cloth.x, cloth_v=cloth.v)
                 # reference check_penetration parity (soft_cloth
                 # mpm_simulator.py:556-561), surfaced per sample block
@@ -949,10 +974,14 @@ class SoftMacEnv:
 
         def _sort_out(carry):
             """Extended sorted carry -> original-order carry (rollout exit)."""
-            (mpm_f, bodies_f, rigid_f), _, perm = carry
+            core, _, perm = carry
             inv = jnp.zeros_like(perm).at[perm].set(
                 jnp.arange(perm.shape[0], dtype=perm.dtype))
-            return (mpm_mod.permute_state(mpm_f, inv), bodies_f, rigid_f)
+            mpm_f = mpm_mod.permute_state(core[0], inv)
+            if self.has_cloth:
+                _, cloth_f, pen_f = core
+                return (mpm_f, cloth_f, self._permute_pen(pen_f, inv))
+            return (mpm_f,) + tuple(core[1:])
 
         # truncated BPTT for long chaotic horizons: gradients flow at most
         # ~bptt_window env steps back through the carry (segment boundaries

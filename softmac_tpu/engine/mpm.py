@@ -413,6 +413,126 @@ def grid_normalize(cfg: MPMConfig, grid, gravity):
     return gv, mask, m
 
 
+class _Transfers:
+    """One substep's B-spline transfer dispatch, shared by ``substep`` and
+    ``substep_cloth``: dense XLA matmuls / fused Pallas kernels / y-chunked
+    Pallas kernels (the production sorted-carry path). The static
+    dense→fused→chunked selection happens here once per substep trace;
+    the TPU-vs-other lowering choice rides ``lax.platform_dependent`` in
+    each method so the same traced program also runs on virtual CPU meshes
+    (the multichip dry run)."""
+
+    def __init__(self, cfg: MPMConfig, x, dtype, assume_sorted, axis_name):
+        self.cfg = cfg
+        self.x = x
+        sizes, corner, overflow = window_geometry(cfg, x, axis_name)
+        self.sizes, self.corner = sizes, corner
+        self.wx = sizes[0]
+        use_fused = _fused_transfer_wanted(cfg, dtype)
+        self.use_chunked = (use_fused and assume_sorted
+                            and _chunked_transfer_wanted(cfg, dtype))
+        self.use_fused = use_fused and not self.use_chunked
+        if self.use_chunked:
+            # y-chunked family: NO weight arrays exist anywhere — the
+            # kernels rebuild all three axes' B-spline weights per tile
+            # from the scaled position rows (pallas_chunked._waxis).
+            from softmac_tpu.ops import pallas_chunked as pc
+            self.fam = pc.family(sizes, cfg.chunk_tile or None)
+            px, py, pz = (x[d] * cfg.inv_dx for d in range(3))
+            self.pxyz = (px, py, pz)
+            meta, c_ovf = pc.chunk_meta(py, corner, sizes[1],
+                                        cfg.chunk_tile or None)
+            if axis_name is not None:
+                c_ovf = lax.pmax(c_ovf.astype(jnp.int32), axis_name) > 0
+            overflow = overflow | c_ovf
+            self.meta = meta
+            self.pv = jnp.zeros((8, x[0].shape[0]), dtype) \
+                .at[0].set(px).at[1].set(py).at[2].set(pz)
+        elif self.use_fused:
+            from softmac_tpu.ops import pallas_fused as pf
+            self.pf = pf
+            W, WD = axis_weights(cfg, x, sizes, corner)
+            self.W = W
+            self.ws6 = (W[0], WD[0], W[1], WD[1], W[2], WD[2])
+        else:
+            W, WD = axis_weights(cfg, x, sizes, corner)
+            self.W, self.WD = W, WD
+            self.Hyz, self.HyzDy, self.HyzDz = hyz_family(cfg, W, WD)
+        self.overflow = overflow
+
+    def p2g(self, v, C, stress, impulse):
+        """Full P2G splat -> grid channels (mass, mom x/y/z), (wy*wz, wx)."""
+        cfg, wx = self.cfg, self.wx
+        if self.use_chunked:
+            px, py, pz = self.pxyz
+            chan = _p2g_channels(cfg, v, C, stress, impulse) \
+                .at[13].set(px).at[14].set(py).at[15].set(pz)
+            gm, gmom = lax.platform_dependent(
+                chan, self.meta, tpu=self.fam.p2g, default=self.fam.p2g_ref)
+            return (gm, gmom[:, :wx], gmom[:, wx:2 * wx], gmom[:, 2 * wx:])
+        if self.use_fused:
+            chan = _p2g_channels(cfg, v, C, stress, impulse)
+            gm, gmom = lax.platform_dependent(
+                *self.ws6, chan, tpu=self.pf.p2g, default=self.pf._p2g_ref)
+            return (gm, gmom[:, :wx], gmom[:, wx:2 * wx], gmom[:, 2 * wx:])
+        return p2g_dense(cfg, self.W, self.WD, self.Hyz, self.HyzDy,
+                         self.HyzDz, v, C, stress, impulse)
+
+    def gather(self, grid_v):
+        """Weighted gather (grid_op_mixed2): particle-interpolated velocity."""
+        if self.use_chunked:
+            vt = lax.platform_dependent(
+                self.pv, *grid_v, self.meta,
+                tpu=self.fam.gather, default=self.fam.gather_ref)
+            return (vt[0], vt[1], vt[2])
+        if self.use_fused:
+            vt = lax.platform_dependent(
+                self.W[0], self.W[1], self.W[2], *grid_v,
+                tpu=self.pf.gather, default=self.pf._gather_ref)
+            return (vt[0], vt[1], vt[2])
+        return gather_dense(self.cfg, self.W, self.Hyz, grid_v)
+
+    def splat3(self, vals3):
+        """Splat 3 plain per-particle channels (grid_op_mixed4's correction
+        scatter) -> list of 3 (wy*wz, wx) grids."""
+        wx = self.wx
+        if self.use_chunked:
+            vals = jnp.concatenate(
+                [jnp.stack(list(vals3)), self.pv[0:3], self.pv[6:8]],
+                axis=0)   # rows 3-5 = px/py/pz
+            cg = lax.platform_dependent(
+                vals, self.meta,
+                tpu=self.fam.splat, default=self.fam.splat_ref)
+            return [cg[:, d * wx:(d + 1) * wx] for d in range(3)]
+        if self.use_fused:
+            cg = lax.platform_dependent(
+                self.W[0], self.W[1], self.W[2], jnp.stack(list(vals3)),
+                tpu=self.pf.splat, default=self.pf._splat_ref)
+            return [cg[:, d * wx:(d + 1) * wx] for d in range(3)]
+        return splat_channels(self.cfg, self.W, self.Hyz, list(vals3))
+
+    def g2p(self, grid_v_out):
+        """G2P gather + affine C reconstruction + advection."""
+        cfg, x = self.cfg, self.x
+        if self.use_chunked or self.use_fused:
+            if self.use_chunked:
+                out16 = lax.platform_dependent(
+                    self.pv, *grid_v_out, self.meta,
+                    tpu=self.fam.g2p, default=self.fam.g2p_ref)
+            else:
+                out16 = lax.platform_dependent(
+                    *self.ws6, *grid_v_out,
+                    tpu=self.pf.g2p, default=self.pf._g2p_ref)
+            v_new = (out16[0], out16[1], out16[2])
+            s = 4.0 * cfg.inv_dx
+            C_new = tuple(tuple(s * out16[3 + 3 * d + j] for j in range(3))
+                          for d in range(3))
+            x_new = tuple(x[d] + cfg.dt * v_new[d] for d in range(3))
+            return v_new, C_new, x_new
+        return g2p_dense(cfg, self.W, self.WD, self.Hyz, self.HyzDy,
+                         self.HyzDz, grid_v_out, x)
+
+
 def substep(
     cfg: MPMConfig,
     params: MPMParams,
@@ -474,71 +594,22 @@ def substep(
             impulse[d] + jnp.where(on, 6e-4 * mpm_action[sel, d] * cfg.dt, 0.0)
             for d in range(3))
 
-    # --- dense B-spline transfer operators (active window) -------------------
-    sizes, corner, overflow = window_geometry(cfg, x, axis_name)
-    use_fused = _fused_transfer_wanted(cfg, dtype)
-    use_chunked = (use_fused and assume_sorted
-                   and _chunked_transfer_wanted(cfg, dtype))
-    wx = sizes[0]
-    Hyz = HyzDy = HyzDz = None
-    if use_chunked:
-        # y-chunked family: NO weight arrays exist anywhere — the kernels
-        # rebuild all three axes' B-spline weights per tile from the scaled
-        # position rows (pallas_chunked._waxis).
-        from softmac_tpu.ops import pallas_chunked as pc
-        fam = pc.family(sizes, cfg.chunk_tile or None)
-        px, py, pz = (x[d] * cfg.inv_dx for d in range(3))
-        meta, c_ovf = pc.chunk_meta(py, corner, sizes[1],
-                                    cfg.chunk_tile or None)
-        if axis_name is not None:
-            c_ovf = lax.pmax(c_ovf.astype(jnp.int32), axis_name) > 0
-        overflow = overflow | c_ovf
-        pv = jnp.zeros((8, x[0].shape[0]), dtype) \
-            .at[0].set(px).at[1].set(py).at[2].set(pz)
-    elif use_fused:
-        from softmac_tpu.ops import pallas_fused as pf
-        W, WD = axis_weights(cfg, x, sizes, corner)
-        ws6 = (W[0], WD[0], W[1], WD[1], W[2], WD[2])
-    else:
-        W, WD = axis_weights(cfg, x, sizes, corner)
-        Hyz, HyzDy, HyzDz = hyz_family(cfg, W, WD)
+    # --- B-spline transfer operators (active window) -------------------------
+    tr = _Transfers(cfg, x, dtype, assume_sorted, axis_name)
+    overflow = tr.overflow
 
     # --- P2G ---------------------------------------------------------------
-    if use_chunked:
-        chan = _p2g_channels(cfg, v, C, stress, impulse) \
-            .at[13].set(px).at[14].set(py).at[15].set(pz)
-        gm, gmom = lax.platform_dependent(
-            chan, meta, tpu=fam.p2g, default=fam.p2g_ref)
-        grid = (gm, gmom[:, :wx], gmom[:, wx:2 * wx], gmom[:, 2 * wx:])
-    elif use_fused:
-        chan = _p2g_channels(cfg, v, C, stress, impulse)
-        gm, gmom = lax.platform_dependent(
-            *ws6, chan, tpu=pf.p2g, default=pf._p2g_ref)
-        grid = (gm, gmom[:, :wx], gmom[:, wx:2 * wx], gmom[:, 2 * wx:])
-    else:
-        grid = p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
-    grid = _psum(grid)
+    grid = _psum(tr.p2g(v, C, stress, impulse))
 
     # --- grid ops + contact --------------------------------------------------
     # (the grid is replicated after the psum: grid-level contact and its
     # wrench are computed identically on every shard — no further psum)
-    coords = grid_coords(cfg, sizes, corner)
+    coords = grid_coords(cfg, tr.sizes, tr.corner)
     g_v, mask, grid_m = grid_normalize(cfg, grid, params.gravity)
 
     if cfg.collision_type == CONTACT_MIXED:
         grid_v_mixed = boundary_condition(cfg, coords, g_v)
-        if use_chunked:
-            vt = lax.platform_dependent(
-                pv, *grid_v_mixed, meta,
-                tpu=fam.gather, default=fam.gather_ref)
-            v_tmp = (vt[0], vt[1], vt[2])
-        elif use_fused:
-            vt = lax.platform_dependent(
-                W[0], W[1], W[2], *grid_v_mixed,
-                tpu=pf.gather, default=pf._gather_ref)
-            v_tmp = (vt[0], vt[1], vt[2])
-        else:
-            v_tmp = gather_dense(cfg, W, Hyz, grid_v_mixed)
+        v_tmp = tr.gather(grid_v_mixed)
         v_tgt = v_tmp
         life = 1.0 / (cfg.substeps - k)
         for i in range(n_prims):
@@ -554,22 +625,7 @@ def substep(
         # splat the velocity correction back (grid_op_mixed4, alpha = 2.0)
         alpha = 2.0
         dv = m33.vsub(v_tmp, v_tgt)
-        if use_chunked:
-            vals = jnp.concatenate(
-                [jnp.stack([-alpha * dv[d] for d in range(3)]),
-                 pv[0:3], pv[6:8]], axis=0)   # rows 3-5 = px/py/pz
-            cg = lax.platform_dependent(
-                vals, meta, tpu=fam.splat, default=fam.splat_ref)
-            corr = [cg[:, d * wx:(d + 1) * wx] for d in range(3)]
-        elif use_fused:
-            cg = lax.platform_dependent(
-                W[0], W[1], W[2],
-                jnp.stack([-alpha * dv[d] for d in range(3)]),
-                tpu=pf.splat, default=pf._splat_ref)
-            corr = [cg[:, d * wx:(d + 1) * wx] for d in range(3)]
-        else:
-            corr = splat_channels(cfg, W, Hyz, [-alpha * dv[d] for d in range(3)])
-        corr = _psum(corr)
+        corr = _psum(tr.splat3([-alpha * dv[d] for d in range(3)]))
         grid_v_out = tuple(
             jnp.where(mask, grid_v_mixed[d] + corr[d], 0.0) for d in range(3))
     elif cfg.collision_type == CONTACT_GRID:
@@ -598,27 +654,7 @@ def substep(
     grid_v_out = cfl_clamp(cfg, grid_v_out)
 
     # --- G2P + advection -----------------------------------------------------
-    if use_chunked:
-        out16 = lax.platform_dependent(
-            pv, *grid_v_out, meta,
-            tpu=fam.g2p, default=fam.g2p_ref)
-        v_new = (out16[0], out16[1], out16[2])
-        s = 4.0 * cfg.inv_dx
-        C_new = tuple(tuple(s * out16[3 + 3 * d + j] for j in range(3))
-                      for d in range(3))
-        x_new = tuple(x[d] + cfg.dt * v_new[d] for d in range(3))
-    elif use_fused:
-        out16 = lax.platform_dependent(
-            *ws6, *grid_v_out,
-            tpu=pf.g2p, default=pf._g2p_ref)
-        v_new = (out16[0], out16[1], out16[2])
-        s = 4.0 * cfg.inv_dx
-        C_new = tuple(tuple(s * out16[3 + 3 * d + j] for j in range(3))
-                      for d in range(3))
-        x_new = tuple(x[d] + cfg.dt * v_new[d] for d in range(3))
-    else:
-        v_new, C_new, x_new = g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz,
-                                        grid_v_out, x)
+    v_new, C_new, x_new = tr.g2p(grid_v_out)
 
     new_state = MPMState(
         x=jnp.stack(x_new),
@@ -641,6 +677,7 @@ def substep_cloth(
     k,
     mpm_action=None,
     axis_name=None,          # particle-shard mesh axis (multi-chip execution)
+    assume_sorted=False,     # caller asserts y-cell-sorted particle order
 ):
     """MLS-MPM substep coupled to a triangle-mesh cloth (the soft_cloth
     variant: ``soft_cloth/engine/mpm_simulator.py`` substep with
@@ -649,6 +686,10 @@ def substep_cloth(
     Returns (new_state, vertex ext forces (V, 3), aux). With ``axis_name``
     the particle arrays are shard-local; the P2G grid, the correction splat,
     and the particle-summed vertex forces are psum'd (cloth state replicated).
+    Transfers ride the same dense/fused/chunked dispatch as the rigid
+    substep (``_Transfers``); ``assume_sorted`` engages the y-chunked
+    kernel family over the sorted carry (env._build_rollout permutes the
+    penetration side-state along with the particle state).
     """
     from softmac_tpu.engine import cloth_contact as cc
 
@@ -689,38 +730,17 @@ def substep_cloth(
             impulse[d] + jnp.where(on, 6e-4 * mpm_action[sel, d] * cfg.dt, 0.0)
             for d in range(3))
 
-    sizes, corner, overflow = window_geometry(cfg, x, axis_name)
-    W, WD = axis_weights(cfg, x, sizes, corner)
-    use_fused = _fused_transfer_wanted(cfg, dtype)
-    if use_fused:
-        from softmac_tpu.ops import pallas_fused as pf
-        ws6 = (W[0], WD[0], W[1], WD[1], W[2], WD[2])
-        wx = sizes[0]
-        Hyz = HyzDy = HyzDz = None
-    else:
-        Hyz, HyzDy, HyzDz = hyz_family(cfg, W, WD)
+    tr = _Transfers(cfg, x, dtype, assume_sorted, axis_name)
+    overflow = tr.overflow
 
-    if use_fused:
-        chan = _p2g_channels(cfg, v, C, stress, impulse)
-        gm, gmom = lax.platform_dependent(
-            *ws6, chan, tpu=pf.p2g, default=pf._p2g_ref)
-        grid = (gm, gmom[:, :wx], gmom[:, wx:2 * wx], gmom[:, 2 * wx:])
-    else:
-        grid = p2g_dense(cfg, W, WD, Hyz, HyzDy, HyzDz, v, C, stress, impulse)
-    grid = _psum(grid)
+    grid = _psum(tr.p2g(v, C, stress, impulse))
 
-    coords = grid_coords(cfg, sizes, corner)
+    coords = grid_coords(cfg, tr.sizes, tr.corner)
     g_v, mask, grid_m = grid_normalize(cfg, grid, params.gravity)
 
     if cfg.collision_type == CONTACT_MIXED:
         grid_v_mixed = boundary_condition(cfg, coords, g_v)
-        if use_fused:
-            vt = lax.platform_dependent(
-                W[0], W[1], W[2], *grid_v_mixed,
-                tpu=pf.gather, default=pf._gather_ref)
-            v_tmp = (vt[0], vt[1], vt[2])
-        else:
-            v_tmp = gather_dense(cfg, W, Hyz, grid_v_mixed)
+        v_tmp = tr.gather(grid_v_mixed)
         life = 1.0 / (cfg.substeps - k)
         v_tgt, ext = cc.collide_cloth(
             cloth_params, cloth_x, cloth_v, x, v_tmp, cfg.p_mass, cfg.dt,
@@ -729,15 +749,7 @@ def substep_cloth(
 
         alpha = 2.0
         dv = m33.vsub(v_tmp, v_tgt)
-        if use_fused:
-            cg = lax.platform_dependent(
-                W[0], W[1], W[2],
-                jnp.stack([-alpha * dv[d] for d in range(3)]),
-                tpu=pf.splat, default=pf._splat_ref)
-            corr = [cg[:, d * wx:(d + 1) * wx] for d in range(3)]
-        else:
-            corr = splat_channels(cfg, W, Hyz, [-alpha * dv[d] for d in range(3)])
-        corr = _psum(corr)
+        corr = _psum(tr.splat3([-alpha * dv[d] for d in range(3)]))
         grid_v_out = tuple(
             jnp.where(mask, grid_v_mixed[d] + corr[d], 0.0) for d in range(3))
     else:
@@ -745,18 +757,7 @@ def substep_cloth(
 
     grid_v_out = cfl_clamp(cfg, grid_v_out)
 
-    if use_fused:
-        out16 = lax.platform_dependent(
-            *ws6, *grid_v_out,
-            tpu=pf.g2p, default=pf._g2p_ref)
-        v_new = (out16[0], out16[1], out16[2])
-        s = 4.0 * cfg.inv_dx
-        C_new = tuple(tuple(s * out16[3 + 3 * d + j] for j in range(3))
-                      for d in range(3))
-        x_new = tuple(x[d] + cfg.dt * v_new[d] for d in range(3))
-    else:
-        v_new, C_new, x_new = g2p_dense(cfg, W, WD, Hyz, HyzDy, HyzDz,
-                                        grid_v_out, x)
+    v_new, C_new, x_new = tr.g2p(grid_v_out)
 
     new_state = MPMState(
         x=jnp.stack(x_new),

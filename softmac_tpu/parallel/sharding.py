@@ -143,9 +143,16 @@ def _scan_env_steps(env, prims, params_local, carry0, actions):
         final, _ = jax.lax.scan(step, carry0, actions)
         return final
 
-    mpm0, bodies0, rigid0 = carry0
+    mpm0 = carry0[0]
     q, inv = mpm_mod.sort_perm(cfg, (mpm0.x[0], mpm0.x[1], mpm0.x[2]))
-    carry_s = (mpm_mod.permute_state(mpm0, q), bodies0, rigid0)
+    mpm_q = mpm_mod.permute_state(mpm0, q)
+    if env.has_cloth:
+        # cloth carry = (mpm, cloth, pen): the shard-local per-particle
+        # penetration side-state rides the same permutation
+        _, cloth0, pen0 = carry0
+        carry_s = (mpm_q, cloth0, env._permute_pen(pen0, q))
+    else:
+        carry_s = (mpm_q,) + tuple(carry0[1:])
     params_s = mpm_mod.permute_params(params_local, q)
 
     def step(c, a):
@@ -153,8 +160,12 @@ def _scan_env_steps(env, prims, params_local, carry0, actions):
                                 prims=prims)
         return c, None
 
-    (mpm_f, bodies_f, rigid_f), _ = jax.lax.scan(step, carry_s, actions)
-    return (mpm_mod.permute_state(mpm_f, inv), bodies_f, rigid_f)
+    final, _ = jax.lax.scan(step, carry_s, actions)
+    mpm_f = mpm_mod.permute_state(final[0], inv)
+    if env.has_cloth:
+        _, cloth_f, pen_f = final
+        return (mpm_f, cloth_f, env._permute_pen(pen_f, inv))
+    return (mpm_f,) + tuple(final[1:])
 
 
 def make_sharded_rollout(env, mesh: Mesh, n_steps: int):
@@ -276,9 +287,31 @@ def dryrun(n_devices: Optional[int] = None, n_steps: int = 2) -> None:
     loss = float(loss)
     assert np.isfinite(loss), "multichip dryrun produced non-finite loss"
     assert np.isfinite(np.asarray(new_actions)).all()
+
+    # equality gate (VERDICT r4 #7): the SAME scene/actions through a
+    # 1-device mesh must produce the same loss and updated actions — the
+    # n-device program differs only in psum partitioning (reduction-order
+    # roundoff), so this is an assertion, not a smoke print.
+    mesh1 = Mesh(np.array(devices[:1]).reshape(1, 1), ("dp", "sp"))
+    # partitioning only changes psum reduction order: f64 agrees to ~1e-12,
+    # f32 to ~1e-7 (observed 9e-8 on the pour grads) — gate at ~100x that
+    tol_act = 1e-8 if env.dtype == jnp.float64 else 1e-5
+    batched1 = jax.tree.map(
+        lambda s: jnp.broadcast_to(s[None], (1,) + s.shape), carry0)
+    step1 = make_sharded_train_step(env, mesh1)
+    loss1, new_actions1 = step1(env.mpm_params, batched1, actions[:1],
+                                target, env.prims)
+    dloss = abs(loss - float(loss1))
+    dact = float(np.abs(np.asarray(new_actions[:1])
+                        - np.asarray(new_actions1)).max())
+    assert dloss <= 1e-6 * max(1.0, abs(loss)), \
+        f"n-device vs 1-device loss mismatch: {loss} vs {float(loss1)}"
+    assert dact <= tol_act, \
+        f"n-device vs 1-device action-grad mismatch: {dact}"
     print(f"[dryrun_multichip] mesh=({dp}x{sp}) devices={n_devices} "
           f"coupled pour scene (contact+rigid) loss={loss:.6f} "
-          f"grad-updated actions OK")
+          f"grad-updated actions OK; equality vs 1-device mesh: "
+          f"|dloss|={dloss:.3e} |dact|={dact:.3e} (ASSERTED)")
 
     # cloth family: the same dp x sp training step on a reduced hit scene
     # (MPM control + PD towel cloth + sticky cloth contact): vertex-force
@@ -295,6 +328,20 @@ def dryrun(n_devices: Optional[int] = None, n_steps: int = 2) -> None:
     loss_c = float(loss_c)
     assert np.isfinite(loss_c), "cloth multichip dryrun non-finite loss"
     assert np.isfinite(np.asarray(new_actions_c)).all()
+
+    batched1_c = jax.tree.map(
+        lambda s: jnp.broadcast_to(s[None], (1,) + s.shape), carry0_c)
+    step1_c = make_sharded_train_step(env_c, mesh1, lr=1e-3)
+    loss1_c, new_actions1_c = step1_c(env_c.mpm_params, batched1_c,
+                                      actions_c[:1], target_c, env_c.prims)
+    dloss_c = abs(loss_c - float(loss1_c))
+    dact_c = float(np.abs(np.asarray(new_actions_c[:1])
+                          - np.asarray(new_actions1_c)).max())
+    assert dloss_c <= 1e-6 * max(1.0, abs(loss_c)), \
+        f"cloth n- vs 1-device loss mismatch: {loss_c} vs {float(loss1_c)}"
+    assert dact_c <= tol_act, \
+        f"cloth n- vs 1-device action-grad mismatch: {dact_c}"
     print(f"[dryrun_multichip] mesh=({dp}x{sp}) devices={n_devices} "
           f"coupled hit scene (MPM control + PD cloth) loss={loss_c:.6f} "
-          f"grad-updated actions OK")
+          f"grad-updated actions OK; equality vs 1-device mesh: "
+          f"|dloss|={dloss_c:.3e} |dact|={dact_c:.3e} (ASSERTED)")

@@ -270,3 +270,61 @@ def test_cloth_batched_replica_rollout_matches_unbatched():
     # the jittered replica diverges (it is a different trajectory)
     assert not np.allclose(np.asarray(out["carry"][0].x[1]),
                            np.asarray(ref["carry"][0].x))
+
+
+def test_cloth_sorted_carry_rollout_matches_default(monkeypatch):
+    """The sorted-carry rollout on a CLOTH env (env._build_rollout use_sort:
+    the per-particle penetration side-state contact_id/penetration permutes
+    together with MPMState in _resort/_sort_out) must be physics- and
+    gradient-neutral. On CPU f64 the chunked kernels stay off, so this
+    isolates the permutation plumbing itself — the TPU kernel parity is
+    pinned separately (tests/test_pallas_chunked.py + bench gates)."""
+    import jax
+    from softmac_tpu import SoftMacEnv, load
+    from softmac_tpu.engine import mpm as mpm_mod
+
+    cfg = load("softmac_tpu/config/demo_hit_config.py")
+    env = SoftMacEnv(cfg)
+    control_idx = np.full(env.n_particles, -1, np.int32)
+    control_idx[:4000] = 0
+    env.set_control_idx(control_idx)
+
+    actions = np.zeros((2, env.action_dim))
+    actions[:, 2] = -8.0
+    ref = env.rollout_and_grad(actions, loss_start_frame=0,
+                               loss_stride=env.substeps)
+
+    env_s = SoftMacEnv(cfg)
+    env_s.set_control_idx(control_idx)
+    monkeypatch.setattr(mpm_mod, "sorted_transfers_wanted",
+                        lambda cfg, dtype: True)
+    assert env_s.use_sorted_carry()
+    out = env_s.rollout_and_grad(actions, loss_start_frame=0,
+                                 loss_stride=env.substeps)
+
+    np.testing.assert_allclose(float(out["loss"]), float(ref["loss"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["carry"][0].x),
+                               np.asarray(ref["carry"][0].x), atol=1e-12)
+    # penetration side-state returns in original particle order
+    np.testing.assert_array_equal(
+        np.asarray(out["carry"][2].contact_id),
+        np.asarray(ref["carry"][2].contact_id))
+    np.testing.assert_array_equal(
+        np.asarray(out["carry"][2].penetration),
+        np.asarray(ref["carry"][2].penetration))
+    np.testing.assert_allclose(int(out["terms"]["n_penetration"]),
+                               int(ref["terms"]["n_penetration"]))
+    np.testing.assert_allclose(np.asarray(out["action_grad"]),
+                               np.asarray(ref["action_grad"]),
+                               rtol=1e-9, atol=1e-12)
+
+    # general (mid-window) loss-stride path over the sorted cloth carry:
+    # samples unsort via the carried perm inside the substep scan
+    ref_g = env.rollout_and_grad(actions, loss_start_frame=0, loss_stride=7)
+    out_g = env_s.rollout_and_grad(actions, loss_start_frame=0, loss_stride=7)
+    np.testing.assert_allclose(float(out_g["loss"]), float(ref_g["loss"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_g["action_grad"]),
+                               np.asarray(ref_g["action_grad"]),
+                               rtol=1e-9, atol=1e-12)
