@@ -479,6 +479,18 @@ def _fused_factory(res, dt, p_mass, push_cap):
         par, xv, rows1, st1, out2 = pieces
         bp3 = (bp[0], bp[1], bp[2])
 
+        # MEASUREMENT-ONLY knob (scripts/diag_contact_bwd.py): zero the
+        # contact backward to bisect its end-to-end share. Gradients are
+        # WRONG under this flag — never set it outside a timing run.
+        if os.environ.get("SOFTMAC_TPU_CONTACT_BWD") == "zero":
+            zero_prim = jax.tree_util.tree_map(jnp.zeros_like, prim)
+            zv = tuple(jnp.zeros_like(x[d]) for d in range(3))
+            zs = jnp.zeros((), jnp.float32)
+            return (zero_prim, jnp.zeros_like(bp), jnp.zeros_like(bq),
+                    jnp.zeros_like(bv), jnp.zeros_like(bw),
+                    zs.astype(friction.dtype), zs.astype(softness.dtype),
+                    zv, zv, zs.astype(life.dtype))
+
         _, vjp_tail = jax.vjp(_tail, out2, st1, x, bp3)
         g_out2, g_st1_t, g_x_t, g_bp_t = vjp_tail(g)
 
