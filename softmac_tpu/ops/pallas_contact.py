@@ -8,11 +8,18 @@ in layout/pass overhead. These kernels fuse EVERYTHING after the single
 gather into two elementwise pallas_calls:
 
     idx1 = cell(x)            [XLA]     rows1 = table[:, idx1]   [XLA gather]
-    kernel A: trilinear (sdf, normal) + friction-cone response -> p_v1, x_new
-    kernel B: forecast sample from the SAME rows (fractions relative to
-              base(x), sdf.forecast_fx semantics) + penetration push-out
-              -> p_v_out, b_f
+    kernel: trilinear (sdf, normal) + friction-cone response (stage 1),
+            then forecast sample from the SAME rows (fractions relative to
+            base(x), sdf.forecast_fx semantics) + penetration push-out
+            (stage 2) — composed in ONE launch -> p_v_out, b_f, dist
     tail [XLA]: mask b_f, torque cross, wrench reduction
+
+The composition (default; _fused12_factory) replaced the original
+two-launch stage-1/stage-2 split (_fused_factory, kept under
+SOFTMAC_TPU_CONTACT_SPLIT=1): same math, but the (8, N) st1 block no
+longer round-trips HBM between launches, and the backward is ONE kernel
+(jax.vjp of the composition) instead of the k2b -> k1b chain with its
+gst1 block. Measured on the 1e5 flagship: scripts/diag_contact_merged.py.
 
 The forecast point moves well under one table cell per substep (CFL), so
 reusing the stage-1 stencil is exact for non-face-crossing particles and a
@@ -230,6 +237,44 @@ def _mixed2_math(rows, xv, st1, s, nd, res, dt, p_mass):
          (v[1] - p_v_out[1]) * (p_mass / dt),
          (v[2] - p_v_out[2]) * (p_mass / dt),
          zero, zero], axis=0)
+
+
+def _mixed12_math(rows, xv, s, nd, res, dt, p_mass):
+    """Stages 1+2 composed for the single-launch mixed kernel. (8, T) out
+    rows: p_v_out (0-2), unmasked reaction force (3-5), dist (6), zero (7).
+    p_v1/x_new stay internal to the kernel — the split path round-trips
+    them through HBM as the (8, T) st1 block between two pallas_calls;
+    composing the stages eliminates that block plus one kernel launch per
+    prim per substep in BOTH directions (the backward kernel is jax.vjp of
+    THIS composition, replacing the k2b -> k1b chain and its gst1 block)."""
+    st1 = _mixed1_math(rows, xv, s, nd, res, dt)
+    out2 = _mixed2_math(rows, xv, st1, s, nd, res, dt, p_mass)
+    return jnp.concatenate(
+        [out2[0:6, :], st1[6:7, :], jnp.zeros_like(st1[6:7, :])], axis=0)
+
+
+def _make_mixed12_kernel(res, dt, p_mass):
+    def kernel(rows_ref, xv_ref, par_ref, out_ref):
+        s, nd = _par_unpack(par_ref[:])
+        out_ref[:] = _mixed12_math(rows_ref[:], xv_ref[:], s, nd, res, dt,
+                                   p_mass)
+    return kernel
+
+
+def _make_mixed12_bwd_kernel(res, dt, p_mass):
+    def kernel(rows_ref, xv_ref, g_ref, par_ref, gxv_ref, gpar_ref):
+        T = g_ref.shape[1]
+        s, nd = _par_unpack(par_ref[:], T)
+        rows = rows_ref[:]
+
+        def f(xv, s):
+            return _mixed12_math(rows, xv, s, nd, res, dt, p_mass)
+
+        _, vjp = jax.vjp(f, xv_ref[:], s)
+        gxv, gs = vjp(g_ref[:])
+        gxv_ref[:] = gxv
+        gpar_ref[:] = jnp.concatenate(_flat_s(gs), axis=0)
+    return kernel
 
 
 def _particle_math(rows, xv, s, nd, res, dt, p_mass):
@@ -518,6 +563,96 @@ def _fused_factory(res, dt, p_mass, push_cap):
     return fused
 
 
+def _tail12(out, x, bp3):
+    """Wrench tail for the merged kernel's (8, N) output (dist in row 6)."""
+    p_v_out = (out[0], out[1], out[2])
+    mask = out[6] <= CONTACT_THRESHOLD
+    b_f = tuple(jnp.where(mask, out[3 + d], 0.0) for d in range(3))
+    r = m33.vsub(x, bp3)
+    b_t = m33.cross(r, b_f)
+    wrench = jnp.stack([jnp.sum(c) for c in (b_f + b_t)])
+    return p_v_out, wrench
+
+
+@functools.lru_cache(maxsize=None)
+def _fused12_factory(res, dt, p_mass, push_cap):
+    """Single-launch custom_vjp collide_mixed: ONE forward kernel (stages
+    1+2 composed, no st1 HBM round-trip) and ONE backward kernel (jax.vjp
+    of the composition). Same math as _fused_factory's k1->k2 / k2b->k1b
+    chains — measured A/B + gradient parity in scripts/diag_contact_kernels
+    .py; selected via SOFTMAC_TPU_CONTACT_SPLIT=1 for the legacy split."""
+    k12 = _make_mixed12_kernel(res, dt, p_mass)
+    k12b = _make_mixed12_bwd_kernel(res, dt, p_mass)
+
+    def parts(prim, bp, bq, bv, bw, friction, softness, x, p_v, life):
+        n = x[0].shape[0]
+        par = _pack_par(prim, bp, bq, bv, bw, friction, softness, life,
+                        push_cap)
+        nbt = prim.neighborhood.T          # hoisted out of the scan by XLA
+        qinv = m33.qnorm(m33.qconj((bq[0], bq[1], bq[2], bq[3])))
+        bp3 = (bp[0], bp[1], bp[2])
+        xv = jnp.concatenate([jnp.stack(list(x)), jnp.stack(list(p_v)),
+                              jnp.zeros((2, n), jnp.float32)], axis=0)
+        p_loc = m33.qrot(qinv, m33.vsub(x, bp3))
+        rows1 = nbt[:, _cell_index(prim, p_loc)]
+        out = _run_kernel(k12, [rows1], [xv, par], n)
+        return par, xv, rows1, out
+
+    @jax.custom_vjp
+    def fused(prim, bp, bq, bv, bw, friction, softness, x, p_v, life):
+        _, _, _, out = parts(prim, bp, bq, bv, bw, friction, softness,
+                             x, p_v, life)
+        return _tail12(out, x, (bp[0], bp[1], bp[2]))
+
+    def _fwd(*args):
+        # residuals carry the gather + kernel product (see _fused_factory)
+        pieces = parts(*args)
+        bp = args[1]
+        out = _tail12(pieces[3], args[7], (bp[0], bp[1], bp[2]))
+        return out, (args, pieces)
+
+    def _bwd(res, g):
+        res_args, pieces = res
+        prim, bp, bq, bv, bw, friction, softness, x, p_v, life = res_args
+        n = x[0].shape[0]
+        par, xv, rows1, out = pieces
+        bp3 = (bp[0], bp[1], bp[2])
+
+        # MEASUREMENT-ONLY knob (scripts/diag_contact_bwd.py): see
+        # _fused_factory._bwd.
+        if os.environ.get("SOFTMAC_TPU_CONTACT_BWD") == "zero":
+            zero_prim = jax.tree_util.tree_map(jnp.zeros_like, prim)
+            zv = tuple(jnp.zeros_like(x[d]) for d in range(3))
+            zs = jnp.zeros((), jnp.float32)
+            return (zero_prim, jnp.zeros_like(bp), jnp.zeros_like(bq),
+                    jnp.zeros_like(bv), jnp.zeros_like(bw),
+                    zs.astype(friction.dtype), zs.astype(softness.dtype),
+                    zv, zv, zs.astype(life.dtype))
+
+        _, vjp_tail = jax.vjp(_tail12, out, x, bp3)
+        g_out, g_x_t, g_bp_t = vjp_tail(g)
+
+        gxv, gpar_rows = _run_kernel(
+            k12b, [rows1], [xv, g_out, par], n, out_rows=(8, 16))
+        gpar = jnp.sum(gpar_rows, axis=1)
+        g_x = tuple(gxv[d] + g_x_t[d] for d in range(3))
+        g_v = tuple(gxv[3 + d] for d in range(3))
+        g_bp = gpar[_BP:_BP + 3] + jnp.stack(list(g_bp_t))
+        zero_prim = jax.tree_util.tree_map(jnp.zeros_like, prim)
+        return (zero_prim,
+                g_bp.astype(bp.dtype),
+                gpar[_BQ:_BQ + 4].astype(bq.dtype),
+                gpar[_BV:_BV + 3].astype(bv.dtype),
+                gpar[_BW:_BW + 3].astype(bw.dtype),
+                gpar[_FRICTION].astype(friction.dtype),
+                gpar[_SOFTNESS].astype(softness.dtype),
+                g_x, g_v,
+                gpar[_LIFE].astype(life.dtype))
+
+    fused.defvjp(_fwd, _bwd)
+    return fused
+
+
 def _tail_particle(out, x, bp3, dt):
     """Reaction wrench from the in-kernel (already masked) impulse."""
     imp = (out[0], out[1], out[2])
@@ -614,7 +749,9 @@ def collide_mixed_fused(prim, body_pos, body_quat, body_v, body_w,
     p_mass / dt / push_cap are trace-time statics (lru-cached factory)."""
     import numpy as np
     cap = np.inf if push_cap is None else float(push_cap)
-    fn = _fused_factory(tuple(prim.res), float(dt), float(p_mass), cap)
+    factory = (_fused_factory if os.environ.get("SOFTMAC_TPU_CONTACT_SPLIT")
+               else _fused12_factory)
+    fn = factory(tuple(prim.res), float(dt), float(p_mass), cap)
     return fn(prim, jnp.asarray(body_pos, jnp.float32),
               jnp.asarray(body_quat, jnp.float32),
               jnp.asarray(body_v, jnp.float32),

@@ -44,10 +44,22 @@ def _scene(n=600, seed=0):
     return prim, bp, bq, bv, bw, x, v
 
 
-@pytest.mark.parametrize("push_cap", [None, 2.0])
-def test_fused_matches_xla(monkeypatch, push_cap):
-    monkeypatch.setattr(pc, "_INTERPRET", True)
+def _set_style(monkeypatch, style):
+    """Select the split (legacy two-launch) or merged (single-launch)
+    mixed-contact kernel family; both must match the XLA oracle."""
+    if style == "split":
+        monkeypatch.setenv("SOFTMAC_TPU_CONTACT_SPLIT", "1")
+    else:
+        monkeypatch.delenv("SOFTMAC_TPU_CONTACT_SPLIT", raising=False)
     pc._fused_factory.cache_clear()
+    pc._fused12_factory.cache_clear()
+
+
+@pytest.mark.parametrize("style", ["merged", "split"])
+@pytest.mark.parametrize("push_cap", [None, 2.0])
+def test_fused_matches_xla(monkeypatch, push_cap, style):
+    monkeypatch.setattr(pc, "_INTERPRET", True)
+    _set_style(monkeypatch, style)
     prim, bp, bq, bv, bw, x, v = _scene()
     fr = jnp.float32(0.4)
     so = jnp.float32(666.0)
@@ -62,13 +74,14 @@ def test_fused_matches_xla(monkeypatch, push_cap):
     np.testing.assert_allclose(wr_f, wr_x, rtol=5e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("style", ["merged", "split"])
 @pytest.mark.parametrize("push_cap", [None, 2.0])
-def test_fused_grads_match_xla(monkeypatch, push_cap):
+def test_fused_grads_match_xla(monkeypatch, push_cap, style):
     """Cotangents of EVERY differentiable input (body state, friction,
     softness, particle state, life) from the hand-written backward kernels
     vs jax.vjp of the XLA implementation."""
     monkeypatch.setattr(pc, "_INTERPRET", True)
-    pc._fused_factory.cache_clear()
+    _set_style(monkeypatch, style)
     prim, bp, bq, bv, bw, x, v = _scene(n=300, seed=3)
     kw = dict(p_mass=2e-4, dt=1e-4, push_cap=push_cap)
     rng = np.random.default_rng(4)
