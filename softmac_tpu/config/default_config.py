@@ -66,6 +66,11 @@ RIGID.body_contact_stiffness = 1e4
 RIGID.body_contact_damping = 10.0
 RIGID.body_contact_friction = 0.5
 RIGID.body_contact_points = 256       # surface samples per body
+# static-friction (stick) factor: 0 = legacy viscous friction (creeps);
+# 0 < stick <= 1 cancels the pair's relative tangential momentum within one
+# step, Coulomb-clamped — contacts inside the friction cone hold still like
+# the reference's LCP solve (engine/rigid.py __init__ for the formula)
+RIGID.body_contact_stick = 0.0
 
 # ---------------------------------------------------------------------------- #
 # Cloth simulator (soft_cloth variant)

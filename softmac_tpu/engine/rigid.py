@@ -117,6 +117,23 @@ class RigidModel:
         self.body_contact_friction = float(
             cfg.get("body_contact_friction", 0.5))
         self.body_contact_points = int(cfg.get("body_contact_points", 256))
+        # Static-friction (stick) branch for body-body contact. 0 = off
+        # (legacy Coulomb-clamped VISCOUS friction, which admits steady
+        # creep at any driving force — PARITY.md's documented delta vs the
+        # reference's LCP, whose complementarity solve can stick). When
+        # > 0, the tangential force is the Coulomb-clamped force that
+        # cancels the pair's relative tangential momentum within one step:
+        #   ft = min(0.5 * stick * m_red/n_active * |vt|/dt, mu*fn)
+        # (m_red = reduced translational mass of the pair, fixed bodies
+        # infinite; split over the active sample points; 0.5 because each
+        # pair is sampled from both sides). Inside the
+        # friction cone a body then STOPS in one step instead of creeping;
+        # outside it this is exact kinetic Coulomb friction mu*fn. stick
+        # <= 1 bounds the total impulse by the relative tangential
+        # momentum, so the translational approximation cannot reverse the
+        # sliding direction; 0.9 leaves margin for the rotational coupling
+        # the point-mass model ignores.
+        self.body_contact_stick = float(cfg.get("body_contact_stick", 0.0))
 
         self.bodies: List[_BodyDef] = []
         self.skeleton_ndof: List[int] = []
@@ -696,6 +713,15 @@ class RigidModel:
                 wr = self._points_vs_sdf_wrench(wr, a, b, world, prims)
         return wr
 
+    def _pair_reduced_mass(self, a: int, b: int) -> float:
+        """Reduced translational mass of a contact pair; fixed bodies count
+        as infinite (their velocity is not changed by the contact)."""
+        inv = 0.0
+        for s in (a, b):
+            if self.bodies[s].jtype != "fixed":
+                inv += 1.0 / max(self.bodies[s].mass, 1e-12)
+        return 1.0 / max(inv, 1e-12)
+
     def _points_vs_sdf_wrench(self, wr, a: int, b: int, world, prims):
         """Penalty wrench from body a's surface samples against body b's
         SDF, accumulated into both rows of ``wr``."""
@@ -727,13 +753,42 @@ class RigidModel:
 
         # Coulomb-clamped viscous friction (same stabilization as the
         # MPM-side contact: an unclamped viscous term is a stiffness in
-        # disguise)
+        # disguise). With body_contact_stick > 0 the tangential force is
+        # instead the Coulomb-clamped force cancelling the pair's MEAN
+        # relative tangential momentum within one step (see __init__),
+        # distributed over the samples proportionally to their normal
+        # force so every per-point friction cone still holds. Mean (not
+        # per-point) velocity: cancelling each point's own vt at near-
+        # momentum scale over-cancels the ROTATIONAL subspace (the
+        # point-level effective mass I/r^2 is far below m) and pumps an
+        # oscillating slide; the mean couples only to the translational
+        # momentum the reduced mass actually models. Residual slide under
+        # a sub-cone driving force F is O(F*dt/m) per velocity level —
+        # the stick analogue of an LCP's exact per-step v_t = 0 — and
+        # torsional creep about the contact normal is NOT resisted
+        # (mean vt = 0 for pure spin; documented in PARITY.md).
         vt = v_rel - vn[:, None] * n
         vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-24)
-        ft_mag = jnp.minimum(self.body_contact_damping * vt_norm,
-                             self.body_contact_friction * fn)
-        f = (fn[:, None] * n - ft_mag[:, None] * vt / vt_norm[:, None])
-        f = f * act[:, None]
+        mu = self.body_contact_friction
+        if self.body_contact_stick > 0.0:
+            # 0.5: every unordered pair is sampled from BOTH sides (a-vs-b
+            # and b-vs-a), and either directed pass alone would cancel the
+            # full mean momentum — without the halving the pair applies up
+            # to 2x the cancelling impulse and can reverse the slide.
+            n_act = jnp.maximum(jnp.sum(act), 1.0)
+            fn_sum = jnp.maximum(jnp.sum(fn), 1e-24)
+            vt_mean = jnp.sum(act[:, None] * vt, axis=0) / n_act
+            vtm = jnp.sqrt(jnp.sum(vt_mean * vt_mean) + 1e-24)
+            f_tot = jnp.minimum(
+                0.5 * self.body_contact_stick
+                * self._pair_reduced_mass(a, b) * vtm / self.dt,
+                mu * fn_sum)
+            f_t = -(f_tot / fn_sum) * fn[:, None] * (vt_mean / vtm)
+        else:
+            ft_mag = jnp.minimum(self.body_contact_damping * vt_norm,
+                                 mu * fn)
+            f_t = -ft_mag[:, None] * vt / vt_norm[:, None]
+        f = (fn[:, None] * n + f_t) * act[:, None]
 
         F = jnp.sum(f, axis=0)
         tau_a = jnp.sum(jnp.cross(r_a, f), axis=0)

@@ -24,6 +24,16 @@ def make_gif_from_numpy(images, logdir, name=None):
             writer.append_data(image)
 
 
+def make_gif_from_files(picture_dir, logdir, name=None):
+    """Assemble a GIF from per-frame image files (reference
+    ``softmac/utils.py:11-20``): every ``*.png``/``*.jpg`` under
+    ``picture_dir``, in sorted filename order."""
+    import imageio.v2 as imageio
+    files = sorted(p for p in Path(picture_dir).iterdir()
+                   if p.suffix.lower() in (".png", ".jpg", ".jpeg"))
+    make_gif_from_numpy([imageio.imread(f) for f in files], logdir, name)
+
+
 def render(env, action=None, n_steps=100, interval=10):
     """Re-roll (or replay) the env and collect frames (utils.py:29-47)."""
     print("Rendering...")

@@ -238,6 +238,82 @@ def test_env_rollout_with_body_contact():
     assert np.isfinite(g).all() and np.abs(g).sum() > 0
 
 
+def _write_fixed_cube_urdf(d):
+    """Same cube mesh, anchored to the world by a fixed joint at
+    (0.5, 0.5, 0.5)."""
+    (d / "cube_fixed.urdf").write_text("""<?xml version="1.0"?>
+<robot name="cube_fixed">
+  <link name="world"/>
+  <joint name="cube_to_world" type="fixed">
+    <parent link="world"/> <child link="base_link"/>
+    <origin xyz="0.5 0.5 0.5" rpy="0 0 0"/>
+  </joint>
+  <link name="base_link">
+    <inertial>
+      <origin rpy="0 0 0" xyz="0 0 0"/> <mass value="1.0"/>
+      <inertia ixx="0.001" ixy="0" ixz="0" iyy="0.001" iyz="0" izz="0.001"/>
+    </inertial>
+    <collision>
+      <origin rpy="0 0 0" xyz="0 0 0"/>
+      <geometry><mesh filename="cube.obj" scale="1 1 1"/></geometry>
+    </collision>
+  </link>
+</robot>""")
+
+
+@pytest.mark.parametrize("stick,stiffness,damping,creeps", [
+    (0.0, 1e5, 10.0, True),    # legacy viscous at a stiff/low-damping point
+    (0.9, 2e3, 50.0, False),   # stick branch at a settled contact
+])
+def test_static_friction_stick(cube_assets, tmp_path_factory, stick,
+                               stiffness, damping, creeps):
+    """The LCP-parity gap (PARITY.md): a cube resting on a fixed cube under
+    tilted gravity (driving force 1 N, cone limit mu*m*g ~ 4.9 N).
+
+    The legacy Coulomb-clamped VISCOUS friction ties tangential hold to the
+    normal-damping knob: holding requires damping * n_active to dwarf the
+    driving force, and at a stiff/low-damping operating point (1e5/10,
+    where the face contact chatters) the cube slides off at ~0.1 m/s. The
+    stick branch (body_contact_stick=0.9) instead cancels the pair's mean
+    tangential momentum each step, Coulomb-clamped — holding is bounded by
+    the friction CONE alone, independent of damping, like the reference's
+    LCP contact; residual motion is chatter around zero with sub-mm
+    drift."""
+    urdf_free, prim = cube_assets
+    d = tmp_path_factory.mktemp("fixed_cube")
+    _write_cube_assets(d)
+    _write_fixed_cube_urdf(d)
+    urdf_fixed = load_urdf(str(d / "cube_fixed.urdf"))
+
+    # free cube stacked exactly on top of the fixed one
+    cfg = _cfg(tuple([0, 0, 0, 0.5, 0.5 + 2 * _CUBE_H, 0.5] + [0] * 6),
+               stiffness=stiffness, damping=damping)
+    cfg.gravity = (1.0, -9.8, 0.0)       # 1 N lateral drive on the 1 kg cube
+    cfg.body_contact_stick = stick
+    m = RigidModel([urdf_free, urdf_fixed], cfg, env_dt=1e-3,
+                   dtype=jnp.float64)
+    assert [b.jtype for b in m.bodies] == ["floating", "fixed"]
+    assert m._contact_pairs == [(0, 1)]
+
+    prims = (prim, prim)
+    ext0 = jnp.zeros((2, 6), jnp.float64)
+    step = jax.jit(lambda st: m.step(st, None, ext0, prims=prims))
+    s = m.init_state()
+    for _ in range(500):
+        s = step(s)
+    vx, x = float(s.qd[3]), float(s.q[3])
+    # supported in both modes (normal force holds the stack)
+    assert 0.57 < float(s.q[4]) < 0.62, float(s.q[4])
+    if creeps:
+        # viscous: slides at ~F/damping once the chattering contact lets go
+        assert vx > 0.05, vx
+        assert x - 0.5 > 0.02, x
+    else:
+        # stuck: chatter-level velocity around 0, displacement sub-mm
+        assert abs(vx) < 1e-2, vx
+        assert abs(x - 0.5) < 2e-3, x
+
+
 def test_mixed_static_pair():
     """A free glass dropped onto a FIXED bowl (bowl_fixed.urdf: fixed
     joint) comes to rest supported by the contact instead of falling
