@@ -224,6 +224,16 @@ def main(args):
         cfg.defrost()
         cfg.CLOTH.velocity_damping = args.cloth_damping
         cfg.freeze()
+    if args.line_search and cfg.TPU.get("tile_c", "auto") == "auto":
+        # The line-search driver compiles the BATCHED (vmapped) rollout;
+        # at taco's (48,24,48) window the chunked g2p backward kernel
+        # exceeds Mosaic's 16 MB scoped-vmem budget at the auto tile 1536
+        # in that batched context (21.6 MB stack; the plain rollout fits —
+        # bench.py measures it at 1536). 1024 fits with margin. env
+        # SOFTMAC_TPU_TILE_C still wins over this pin (engine/env.py).
+        cfg.defrost()
+        cfg.TPU.tile_c = 1024
+        cfg.freeze()
 
     env = SoftMacEnv(cfg)
     try:
