@@ -80,17 +80,17 @@ _LOWER, _UPPER, _INV_DX = 17, 20, 23
 _N_DIFF = 16
 
 
-def _par_unpack(par, T=None):
+def _par_unpack(par, T=None, S=1):
     """Split the (1, 128) par block into (s, nd): s = the 16 differentiable
     scalars grouped ((bp), (bq), (bv), (bw), friction, softness, life), nd =
     non-diff constants (lower, upper, inv_dx, push_cap). With ``T`` given the
-    s entries are broadcast to (1, T) lane rows (so their vjp cotangents are
-    per-lane contributions instead of in-kernel reductions)."""
+    s entries are broadcast to (S, T) blocks (so their vjp cotangents are
+    per-element contributions instead of in-kernel reductions)."""
     if T is None:
         def P(i):
             return par[0, i]
     else:
-        ones = jnp.ones((1, T), jnp.float32)
+        ones = jnp.ones((S, T), jnp.float32)
 
         def P(i):
             return par[0:1, i:i + 1] * ones
@@ -111,6 +111,17 @@ def _flat_s(s):
     return list(bp) + list(bq) + list(bv) + list(bw) + [fr, so, life]
 
 
+def _ch(arr, i, S=1):
+    """Logical channel ``i`` of a stacked-channel block: rows i*S..(i+1)*S.
+    S=1 is the classic (1, T) lane-row layout; S=8 is the sublane-PACKED
+    layout where each channel fills a native (8, T/8) f32 vreg tile, so
+    every elementwise VPU op runs at 8x the register density (the (1, T)
+    rows occupy one sublane of each vreg). The packing permutation is a
+    pure XLA reshape outside the kernel (_pack_rows) and is identical for
+    every operand, so the in-kernel math is unchanged."""
+    return arr[i * S:(i + 1) * S, :]
+
+
 def _local_and_fx(p_loc, lower, upper, inv_dx, res):
     """in_box + trilinear fractions, mirroring sdf.sample_sdf_normal_local."""
     in_box = ((p_loc[0] >= lower[0]) & (p_loc[0] < upper[0])
@@ -124,8 +135,8 @@ def _local_and_fx(p_loc, lower, upper, inv_dx, res):
     return in_box, fx
 
 
-def _combine(rows, fx, in_box):
-    """Trilinear (sdf, unit normal) from a (32, T) row block."""
+def _combine(rows, fx, in_box, S=1):
+    """Trilinear (sdf, unit normal) from a (32*S, T) channel block."""
     sdf = 0.0
     nx = ny = nz = 0.0
     c = 0
@@ -136,10 +147,10 @@ def _combine(rows, fx, in_box):
             for k in (0, 1):
                 wk = fx[2] if k else (1.0 - fx[2])
                 w = wi * wj * wk
-                sdf = sdf + w * rows[4 * c + 0:4 * c + 1, :]
-                nx = nx + w * rows[4 * c + 1:4 * c + 2, :]
-                ny = ny + w * rows[4 * c + 2:4 * c + 3, :]
-                nz = nz + w * rows[4 * c + 3:4 * c + 4, :]
+                sdf = sdf + w * _ch(rows, 4 * c + 0, S)
+                nx = nx + w * _ch(rows, 4 * c + 1, S)
+                ny = ny + w * _ch(rows, 4 * c + 2, S)
+                nz = nz + w * _ch(rows, 4 * c + 3, S)
                 c += 1
     norm = jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-14)
     n = (nx / norm, ny / norm, nz / norm)
@@ -148,18 +159,18 @@ def _combine(rows, fx, in_box):
     return jnp.where(in_box, sdf, BIG), n
 
 
-def _mixed1_math(rows, xv, s, nd, res, dt):
-    """Stage 1: trilinear sample + friction-cone response. (8, T) out rows:
-    p_v1 (0-2), x + dt*p_v1 (3-5), dist (6), zero (7)."""
+def _mixed1_math(rows, xv, s, nd, res, dt, S=1):
+    """Stage 1: trilinear sample + friction-cone response. (8*S, T) out
+    channels: p_v1 (0-2), x + dt*p_v1 (3-5), dist (6), zero (7)."""
     bp, bq, bv, bw, friction, softness, _life = s
     lower, upper, inv_dx, _cap = nd
-    x = (xv[0:1, :], xv[1:2, :], xv[2:3, :])
-    v = (xv[3:4, :], xv[4:5, :], xv[5:6, :])
+    x = (_ch(xv, 0, S), _ch(xv, 1, S), _ch(xv, 2, S))
+    v = (_ch(xv, 3, S), _ch(xv, 4, S), _ch(xv, 5, S))
 
     qinv = m33.qnorm(m33.qconj(bq))
     p_loc = m33.qrot(qinv, m33.vsub(x, bp))
     in_box, fx = _local_and_fx(p_loc, lower, upper, inv_dx, res)
-    dist, n_loc = _combine(rows, fx, in_box)
+    dist, n_loc = _combine(rows, fx, in_box, S)
     D = m33.qrot(bq, n_loc)
 
     mask = dist <= CONTACT_THRESHOLD
@@ -190,7 +201,7 @@ def _mixed1_math(rows, xv, s, nd, res, dt):
          dist, jnp.zeros_like(dist)], axis=0)
 
 
-def _mixed2_math(rows, xv, st1, s, nd, res, dt, p_mass):
+def _mixed2_math(rows, xv, st1, s, nd, res, dt, p_mass, S=1):
     """Stage 2: penetration push-out. Reuses stage 1's stencil rows: the
     forecast point x_new = x + dt*p_v1 moves well under one table cell
     (CFL), so it interpolates the SAME 2x2x2 patch with fractions relative
@@ -199,15 +210,15 @@ def _mixed2_math(rows, xv, st1, s, nd, res, dt, p_mass):
     the XLA path in contact._collide_mixed_xla does the identical thing).
     Eliminates the second (N, 32) table gather — the gather, not the math,
     is the contact cost floor (~1 ms per prim per substep at 1e5).
-    (8, T) out rows: p_v_out (0-2), unmasked reaction force (3-5),
+    (8*S, T) out channels: p_v_out (0-2), unmasked reaction force (3-5),
     zeros (6-7)."""
     bp, bq, _bv, _bw, _fr, _so, life = s
     lower, upper, inv_dx, push_cap = nd
-    x = (xv[0:1, :], xv[1:2, :], xv[2:3, :])
-    v = (xv[3:4, :], xv[4:5, :], xv[5:6, :])
-    p_v1 = (st1[0:1, :], st1[1:2, :], st1[2:3, :])
-    x_new = (st1[3:4, :], st1[4:5, :], st1[5:6, :])
-    dist1 = st1[6:7, :]
+    x = (_ch(xv, 0, S), _ch(xv, 1, S), _ch(xv, 2, S))
+    v = (_ch(xv, 3, S), _ch(xv, 4, S), _ch(xv, 5, S))
+    p_v1 = (_ch(st1, 0, S), _ch(st1, 1, S), _ch(st1, 2, S))
+    x_new = (_ch(st1, 3, S), _ch(st1, 4, S), _ch(st1, 5, S))
+    dist1 = _ch(st1, 6, S)
 
     qinv = m33.qnorm(m33.qconj(bq))
     p_loc1 = m33.qrot(qinv, m33.vsub(x, bp))
@@ -220,7 +231,7 @@ def _mixed2_math(rows, xv, st1, s, nd, res, dt, p_mass):
         pos1 = (p_loc1[d] - lower[d]) * inv_dx
         b1 = jnp.clip(jnp.floor(pos1), 0.0, float(res[d] - 2))
         fx.append((p_loc2[d] - lower[d]) * inv_dx - b1)   # unclamped
-    sdf2, n2_loc = _combine(rows, fx, in_box)
+    sdf2, n2_loc = _combine(rows, fx, in_box, S)
     n2 = m33.qrot(bq, n2_loc)
 
     mask = dist1 <= CONTACT_THRESHOLD
@@ -239,36 +250,38 @@ def _mixed2_math(rows, xv, st1, s, nd, res, dt, p_mass):
          zero, zero], axis=0)
 
 
-def _mixed12_math(rows, xv, s, nd, res, dt, p_mass):
-    """Stages 1+2 composed for the single-launch mixed kernel. (8, T) out
-    rows: p_v_out (0-2), unmasked reaction force (3-5), dist (6), zero (7).
+def _mixed12_math(rows, xv, s, nd, res, dt, p_mass, S=1):
+    """Stages 1+2 composed for the single-launch mixed kernel. (8*S, T)
+    out channels: p_v_out (0-2), unmasked reaction force (3-5), dist (6),
+    zero (7).
     p_v1/x_new stay internal to the kernel — the split path round-trips
     them through HBM as the (8, T) st1 block between two pallas_calls;
     composing the stages eliminates that block plus one kernel launch per
     prim per substep in BOTH directions (the backward kernel is jax.vjp of
     THIS composition, replacing the k2b -> k1b chain and its gst1 block)."""
-    st1 = _mixed1_math(rows, xv, s, nd, res, dt)
-    out2 = _mixed2_math(rows, xv, st1, s, nd, res, dt, p_mass)
+    st1 = _mixed1_math(rows, xv, s, nd, res, dt, S)
+    out2 = _mixed2_math(rows, xv, st1, s, nd, res, dt, p_mass, S)
     return jnp.concatenate(
-        [out2[0:6, :], st1[6:7, :], jnp.zeros_like(st1[6:7, :])], axis=0)
+        [out2[0:6 * S, :], _ch(st1, 6, S), jnp.zeros_like(_ch(st1, 6, S))],
+        axis=0)
 
 
-def _make_mixed12_kernel(res, dt, p_mass):
+def _make_mixed12_kernel(res, dt, p_mass, S=1):
     def kernel(rows_ref, xv_ref, par_ref, out_ref):
         s, nd = _par_unpack(par_ref[:])
         out_ref[:] = _mixed12_math(rows_ref[:], xv_ref[:], s, nd, res, dt,
-                                   p_mass)
+                                   p_mass, S)
     return kernel
 
 
-def _make_mixed12_bwd_kernel(res, dt, p_mass):
+def _make_mixed12_bwd_kernel(res, dt, p_mass, S=1):
     def kernel(rows_ref, xv_ref, g_ref, par_ref, gxv_ref, gpar_ref):
         T = g_ref.shape[1]
-        s, nd = _par_unpack(par_ref[:], T)
+        s, nd = _par_unpack(par_ref[:], T, S)
         rows = rows_ref[:]
 
         def f(xv, s):
-            return _mixed12_math(rows, xv, s, nd, res, dt, p_mass)
+            return _mixed12_math(rows, xv, s, nd, res, dt, p_mass, S)
 
         _, vjp = jax.vjp(f, xv_ref[:], s)
         gxv, gs = vjp(g_ref[:])
@@ -277,19 +290,20 @@ def _make_mixed12_bwd_kernel(res, dt, p_mass):
     return kernel
 
 
-def _particle_math(rows, xv, s, nd, res, dt, p_mass):
+def _particle_math(rows, xv, s, nd, res, dt, p_mass, S=1):
     """Penalty particle contact (contact.collide_particle semantics,
     Coulomb-clamped friction): trilinear sample + spring impulse, one
-    stage. (8, T) out rows: masked impulse (0-2), mask (3), zeros (4-7)."""
+    stage. (8*S, T) out channels: masked impulse (0-2), mask (3),
+    zeros (4-7)."""
     bp, bq, bv, bw, friction, _so, _life = s
     lower, upper, inv_dx, _cap = nd
-    x = (xv[0:1, :], xv[1:2, :], xv[2:3, :])
-    v = (xv[3:4, :], xv[4:5, :], xv[5:6, :])
+    x = (_ch(xv, 0, S), _ch(xv, 1, S), _ch(xv, 2, S))
+    v = (_ch(xv, 3, S), _ch(xv, 4, S), _ch(xv, 5, S))
 
     qinv = m33.qnorm(m33.qconj(bq))
     p_loc = m33.qrot(qinv, m33.vsub(x, bp))
     in_box, fx = _local_and_fx(p_loc, lower, upper, inv_dx, res)
-    dist, n_loc = _combine(rows, fx, in_box)
+    dist, n_loc = _combine(rows, fx, in_box, S)
     D = m33.qrot(bq, n_loc)
 
     c = dist - CONTACT_THRESHOLD
@@ -376,22 +390,22 @@ def _make_mixed2_bwd_kernel(res, dt, p_mass):
     return kernel
 
 
-def _make_particle_kernel(res, dt, p_mass):
+def _make_particle_kernel(res, dt, p_mass, S=1):
     def kernel(rows_ref, xv_ref, par_ref, out_ref):
         s, nd = _par_unpack(par_ref[:])
         out_ref[:] = _particle_math(rows_ref[:], xv_ref[:], s, nd, res, dt,
-                                    p_mass)
+                                    p_mass, S)
     return kernel
 
 
-def _make_particle_bwd_kernel(res, dt, p_mass):
+def _make_particle_bwd_kernel(res, dt, p_mass, S=1):
     def kernel(rows_ref, xv_ref, g_ref, par_ref, gxv_ref, gpar_ref):
         T = g_ref.shape[1]
-        s, nd = _par_unpack(par_ref[:], T)
+        s, nd = _par_unpack(par_ref[:], T, S)
         rows = rows_ref[:]
 
         def f(xv, s):
-            return _particle_math(rows, xv, s, nd, res, dt, p_mass)
+            return _particle_math(rows, xv, s, nd, res, dt, p_mass, S)
 
         _, vjp = jax.vjp(f, xv_ref[:], s)
         gxv, gs = vjp(g_ref[:])
@@ -421,20 +435,38 @@ def _pad8(arrs, n, tile):
     return [jnp.pad(a, ((0, 0), (0, n_pad - n))) for a in arrs], n_pad
 
 
-def _run_kernel(kernel, rows_blocks, dense_blocks, n, out_rows=(8,)):
+def _pack_rows(a, S):
+    """(R, N) -> (R*S, N/S): split every channel row into S contiguous
+    segments stacked as sublanes (channel c -> rows c*S..(c+1)*S). A pure
+    XLA reshape; which particles share a kernel block changes, but the
+    math is elementwise so only the (inverse) unpack ordering matters."""
+    R, N = a.shape
+    return a.reshape(R, S, N // S).reshape(R * S, N // S)
+
+
+def _unpack_rows(a, S):
+    RS, M = a.shape
+    return a.reshape(RS // S, S, M).reshape(RS // S, S * M)
+
+
+def _run_kernel(kernel, rows_blocks, dense_blocks, n, out_rows=(8,), S=1):
     """rows_blocks: list of (32, N); dense_blocks: (R<=8, N) blocks with the
     constant (1, 128) par block LAST. out_rows: row count per output; returns
-    one array or a tuple, each trimmed to (:, :n)."""
+    one array or a tuple, each trimmed to (:, :n). With S>1 every operand
+    and output is sublane-packed (_pack_rows) so each logical channel fills
+    native (S, tile/S) vreg tiles inside the kernel (see _ch)."""
     tile = _TILE_N
     par = dense_blocks[-1]
     arrs, n_pad = _pad8(list(rows_blocks) + list(dense_blocks[:-1]), n, tile)
+    if S > 1:
+        arrs = [_pack_rows(a, S) for a in arrs]
 
     def spec(rows):
-        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+        return pl.BlockSpec((rows * S, tile // S), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     in_specs = ([spec(32)] * len(rows_blocks)
-                + [spec(a.shape[0]) for a in dense_blocks[:-1]]
+                + [spec(a.shape[0] // S) for a in arrs[len(rows_blocks):]]
                 + [pl.BlockSpec((1, 128), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)])
     out = pl.pallas_call(
@@ -442,10 +474,12 @@ def _run_kernel(kernel, rows_blocks, dense_blocks, n, out_rows=(8,)):
         grid=(n_pad // tile,),
         in_specs=in_specs,
         out_specs=[spec(r) for r in out_rows],
-        out_shape=[jax.ShapeDtypeStruct((r, n_pad), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((r * S, n_pad // S), jnp.float32)
                    for r in out_rows],
         interpret=_INTERPRET,
     )(*arrs, par)
+    if S > 1:
+        out = tuple(_unpack_rows(o, S) for o in out)
     out = tuple(o[:, :n] for o in out)
     return out[0] if len(out) == 1 else out
 
@@ -575,14 +609,17 @@ def _tail12(out, x, bp3):
 
 
 @functools.lru_cache(maxsize=None)
-def _fused12_factory(res, dt, p_mass, push_cap):
+def _fused12_factory(res, dt, p_mass, push_cap, S=8):
     """Single-launch custom_vjp collide_mixed: ONE forward kernel (stages
     1+2 composed, no st1 HBM round-trip) and ONE backward kernel (jax.vjp
     of the composition). Same math as _fused_factory's k1->k2 / k2b->k1b
-    chains — measured A/B + gradient parity in scripts/diag_contact_kernels
-    .py; selected via SOFTMAC_TPU_CONTACT_SPLIT=1 for the legacy split."""
-    k12 = _make_mixed12_kernel(res, dt, p_mass)
-    k12b = _make_mixed12_bwd_kernel(res, dt, p_mass)
+    chains; measured A/B + gradient parity in scripts/diag_contact_merged
+    .py. S=8 sublane-packs every channel (see _ch/_pack_rows) so the
+    VPU-bound backward runs at full vreg density; legacy selections:
+    SOFTMAC_TPU_CONTACT_SPLIT=1 (two-launch split family),
+    SOFTMAC_TPU_CONTACT_PACKED=0 (merged, unpacked (1, T) rows)."""
+    k12 = _make_mixed12_kernel(res, dt, p_mass, S)
+    k12b = _make_mixed12_bwd_kernel(res, dt, p_mass, S)
 
     def parts(prim, bp, bq, bv, bw, friction, softness, x, p_v, life):
         n = x[0].shape[0]
@@ -595,7 +632,7 @@ def _fused12_factory(res, dt, p_mass, push_cap):
                               jnp.zeros((2, n), jnp.float32)], axis=0)
         p_loc = m33.qrot(qinv, m33.vsub(x, bp3))
         rows1 = nbt[:, _cell_index(prim, p_loc)]
-        out = _run_kernel(k12, [rows1], [xv, par], n)
+        out = _run_kernel(k12, [rows1], [xv, par], n, S=S)
         return par, xv, rows1, out
 
     @jax.custom_vjp
@@ -633,7 +670,7 @@ def _fused12_factory(res, dt, p_mass, push_cap):
         g_out, g_x_t, g_bp_t = vjp_tail(g)
 
         gxv, gpar_rows = _run_kernel(
-            k12b, [rows1], [xv, g_out, par], n, out_rows=(8, 16))
+            k12b, [rows1], [xv, g_out, par], n, out_rows=(8, 16), S=S)
         gpar = jnp.sum(gpar_rows, axis=1)
         g_x = tuple(gxv[d] + g_x_t[d] for d in range(3))
         g_v = tuple(gxv[3 + d] for d in range(3))
@@ -664,11 +701,13 @@ def _tail_particle(out, x, bp3, dt):
 
 
 @functools.lru_cache(maxsize=None)
-def _particle_factory(res, dt, p_mass):
+def _particle_factory(res, dt, p_mass, S=8):
     """custom_vjp collide_particle for static (res, dt, p_mass): one table
-    gather + ONE kernel (no forecast stage in the penalty model)."""
-    k1 = _make_particle_kernel(res, dt, p_mass)
-    k1b = _make_particle_bwd_kernel(res, dt, p_mass)
+    gather + ONE kernel (no forecast stage in the penalty model). S=8
+    sublane-packs the channels (see _ch); SOFTMAC_TPU_CONTACT_PACKED=0
+    selects the unpacked (1, T)-row layout."""
+    k1 = _make_particle_kernel(res, dt, p_mass, S)
+    k1b = _make_particle_bwd_kernel(res, dt, p_mass, S)
 
     def parts(prim, bp, bq, bv, bw, friction, x, p_v):
         n = x[0].shape[0]
@@ -681,7 +720,7 @@ def _particle_factory(res, dt, p_mass):
                               jnp.zeros((2, n), jnp.float32)], axis=0)
         p_loc = m33.qrot(qinv, m33.vsub(x, bp3))
         rows1 = nbt[:, _cell_index(prim, p_loc)]
-        out = _run_kernel(k1, [rows1], [xv, par], n)
+        out = _run_kernel(k1, [rows1], [xv, par], n, S=S)
         return par, xv, rows1, out
 
     @jax.custom_vjp
@@ -708,7 +747,7 @@ def _particle_factory(res, dt, p_mass):
         g_out, g_x_t, g_bp_t = vjp_tail(g)
 
         gxv, gpar_rows = _run_kernel(
-            k1b, [rows1], [xv, g_out, par], n, out_rows=(8, 16))
+            k1b, [rows1], [xv, g_out, par], n, out_rows=(8, 16), S=S)
         gpar = jnp.sum(gpar_rows, axis=1)
         g_x = tuple(gxv[d] + g_x_t[d] for d in range(3))
         g_v = tuple(gxv[3 + d] for d in range(3))
@@ -726,10 +765,17 @@ def _particle_factory(res, dt, p_mass):
     return fused
 
 
+def _pack_S() -> int:
+    """Sublane-packing factor: 8 (default) unless
+    SOFTMAC_TPU_CONTACT_PACKED=0 selects the legacy (1, T)-row layout."""
+    return 1 if os.environ.get("SOFTMAC_TPU_CONTACT_PACKED", "1") == "0" else 8
+
+
 def collide_particle_fused(prim, body_pos, body_quat, body_v, body_w,
                            friction, x, p_v, *, p_mass, dt):
     """Drop-in fused replacement for the XLA collide_particle (TPU f32)."""
-    fn = _particle_factory(tuple(prim.res), float(dt), float(p_mass))
+    fn = _particle_factory(tuple(prim.res), float(dt), float(p_mass),
+                           _pack_S())
     return fn(prim, jnp.asarray(body_pos, jnp.float32),
               jnp.asarray(body_quat, jnp.float32),
               jnp.asarray(body_v, jnp.float32),
@@ -749,9 +795,11 @@ def collide_mixed_fused(prim, body_pos, body_quat, body_v, body_w,
     p_mass / dt / push_cap are trace-time statics (lru-cached factory)."""
     import numpy as np
     cap = np.inf if push_cap is None else float(push_cap)
-    factory = (_fused_factory if os.environ.get("SOFTMAC_TPU_CONTACT_SPLIT")
-               else _fused12_factory)
-    fn = factory(tuple(prim.res), float(dt), float(p_mass), cap)
+    if os.environ.get("SOFTMAC_TPU_CONTACT_SPLIT"):
+        fn = _fused_factory(tuple(prim.res), float(dt), float(p_mass), cap)
+    else:
+        fn = _fused12_factory(tuple(prim.res), float(dt), float(p_mass),
+                              cap, _pack_S())
     return fn(prim, jnp.asarray(body_pos, jnp.float32),
               jnp.asarray(body_quat, jnp.float32),
               jnp.asarray(body_v, jnp.float32),

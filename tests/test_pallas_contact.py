@@ -45,17 +45,22 @@ def _scene(n=600, seed=0):
 
 
 def _set_style(monkeypatch, style):
-    """Select the split (legacy two-launch) or merged (single-launch)
-    mixed-contact kernel family; both must match the XLA oracle."""
+    """Select the contact-kernel family; all must match the XLA oracle.
+    packed: single launch, sublane-packed channels (production default);
+    rows:   single launch, legacy (1, T) lane rows;
+    split:  legacy two-launch stage-1/stage-2 family."""
+    monkeypatch.delenv("SOFTMAC_TPU_CONTACT_SPLIT", raising=False)
+    monkeypatch.delenv("SOFTMAC_TPU_CONTACT_PACKED", raising=False)
     if style == "split":
         monkeypatch.setenv("SOFTMAC_TPU_CONTACT_SPLIT", "1")
-    else:
-        monkeypatch.delenv("SOFTMAC_TPU_CONTACT_SPLIT", raising=False)
+    elif style == "rows":
+        monkeypatch.setenv("SOFTMAC_TPU_CONTACT_PACKED", "0")
     pc._fused_factory.cache_clear()
     pc._fused12_factory.cache_clear()
+    pc._particle_factory.cache_clear()
 
 
-@pytest.mark.parametrize("style", ["merged", "split"])
+@pytest.mark.parametrize("style", ["packed", "rows", "split"])
 @pytest.mark.parametrize("push_cap", [None, 2.0])
 def test_fused_matches_xla(monkeypatch, push_cap, style):
     monkeypatch.setattr(pc, "_INTERPRET", True)
@@ -74,7 +79,7 @@ def test_fused_matches_xla(monkeypatch, push_cap, style):
     np.testing.assert_allclose(wr_f, wr_x, rtol=5e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("style", ["merged", "split"])
+@pytest.mark.parametrize("style", ["packed", "rows", "split"])
 @pytest.mark.parametrize("push_cap", [None, 2.0])
 def test_fused_grads_match_xla(monkeypatch, push_cap, style):
     """Cotangents of EVERY differentiable input (body state, friction,
@@ -105,9 +110,10 @@ def test_fused_grads_match_xla(monkeypatch, push_cap, style):
         np.testing.assert_allclose(a / scale, b / scale, rtol=2e-3, atol=2e-3)
 
 
-def test_particle_fused_matches_xla(monkeypatch):
+@pytest.mark.parametrize("style", ["packed", "rows"])
+def test_particle_fused_matches_xla(monkeypatch, style):
     monkeypatch.setattr(pc, "_INTERPRET", True)
-    pc._particle_factory.cache_clear()
+    _set_style(monkeypatch, style)
     prim, bp, bq, bv, bw, x, v = _scene(n=500, seed=7)
     fr = jnp.float32(0.4)
     kw = dict(p_mass=2e-4, dt=1e-4)
@@ -121,11 +127,12 @@ def test_particle_fused_matches_xla(monkeypatch):
     np.testing.assert_allclose(wr_f, wr_x, rtol=5e-4, atol=1e-6)
 
 
-def test_particle_fused_grads_match_xla(monkeypatch):
+@pytest.mark.parametrize("style", ["packed", "rows"])
+def test_particle_fused_grads_match_xla(monkeypatch, style):
     """Cotangents of every differentiable input from the hand-written
     backward kernel vs jax.vjp of the XLA implementation."""
     monkeypatch.setattr(pc, "_INTERPRET", True)
-    pc._particle_factory.cache_clear()
+    _set_style(monkeypatch, style)
     prim, bp, bq, bv, bw, x, v = _scene(n=300, seed=8)
     kw = dict(p_mass=2e-4, dt=1e-4)
     rng = np.random.default_rng(9)
