@@ -20,6 +20,8 @@ import numpy as np
 ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
+_NO_STICK = False
+
 
 def build_env(body_contact: bool):
     from softmac_tpu import SoftMacEnv, load
@@ -31,6 +33,10 @@ def build_env(body_contact: bool):
     # clink bouncy for seconds; see tests/test_rigid_contact.py)
     cfg.RIGID.body_contact_stiffness = 5e4
     cfg.RIGID.body_contact_damping = 100.0
+    # static-friction stick (round 5): the settled glass holds its spot on
+    # the curved bowl floor instead of creeping (--no-stick for the legacy
+    # viscous behavior)
+    cfg.RIGID.body_contact_stick = 0.0 if _NO_STICK else 0.9
     # drop straight down: start the glass centered above the bowl interior
     # (the pour scene's floating bowl starts at (0.34, 0.127, 0.5); rim top
     # y~0.194, interior floor y~0.065; glass bottom is -0.235 body-frame
@@ -89,10 +95,14 @@ def run(env, steps):
 
 
 def main():
+    global _NO_STICK
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--render", action="store_true")
+    ap.add_argument("--no-stick", action="store_true",
+                    help="legacy viscous friction (pre-round-5 behavior)")
     args = ap.parse_args()
+    _NO_STICK = args.no_stick
 
     log_dir = ROOT / "logs/body_contact"
     log_dir.mkdir(parents=True, exist_ok=True)
